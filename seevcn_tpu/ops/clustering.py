@@ -1,0 +1,97 @@
+"""Density clustering (DBSCAN-equivalent) on device.
+
+Replaces the reference's per-object CPU calls to open3d ``cluster_dbscan``
+(see/surface_completion/SEE_VCN.py:170-171, min_points=3;
+see/.../vcn/utils/sampling.py:83-109, min_points=1/2). Those run one object
+at a time on the host; here clustering is a fixed-iteration connected-
+components label propagation over the eps-radius graph, batched with vmap.
+
+DBSCAN semantics: a point is *core* iff its eps-ball holds >= min_points
+points (itself included, matching open3d). Labels propagate only THROUGH
+core points; border points adopt a neighboring core's label but do not
+relay it. Non-core points with no core neighbor are noise (label -1).
+With min_points <= 2 this reduces to exact connected components.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .sampling import pairwise_sqdist, tile_to_n
+
+
+@partial(jax.jit, static_argnames=("min_points", "n_iters"))
+def dbscan(points: jax.Array, eps: float, min_points: int = 1,
+           valid: jax.Array | None = None, n_iters: int = 12) -> jax.Array:
+    """points (N, 3) -> (N,) int32 labels; -1 = noise / invalid.
+
+    Cluster ids are the index of each cluster's smallest member (stable,
+    deterministic). ``n_iters`` rounds of neighbor-min + pointer jumping
+    handle chain diameters up to ~2^n_iters.
+    """
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+
+    eps = jnp.asarray(eps, dtype=points.dtype)
+    adj = pairwise_sqdist(points, points) <= eps * eps
+    adj = adj & valid[:, None] & valid[None, :]
+
+    deg = adj.sum(axis=1)  # self included (d=0)
+    core = (deg >= min_points) & valid
+
+    big = jnp.int32(n)
+    # connected components over the CORE subgraph only
+    core_labels = jnp.where(core, jnp.arange(n, dtype=jnp.int32), big)
+    core_adj = adj & core[:, None] & core[None, :]
+
+    def body(_, labels):
+        nbr_min = jnp.min(jnp.where(core_adj, labels[None, :], big), axis=1)
+        labels = jnp.minimum(labels, nbr_min)
+        # pointer jumping: labels index smaller core points
+        labels = jnp.minimum(labels, labels[jnp.clip(labels, 0, n - 1)])
+        return labels
+
+    core_labels = jax.lax.fori_loop(0, n_iters, body, core_labels)
+
+    # border points adopt the smallest neighboring core's cluster id;
+    # their own index never becomes a cluster id
+    border_label = jnp.min(
+        jnp.where(adj & core[None, :], core_labels[None, :], big), axis=1)
+    labels = jnp.where(core, core_labels, border_label)
+    noise = ~valid | (labels >= big)
+    return jnp.where(noise, -1, labels)
+
+
+def largest_cluster_mask(labels: jax.Array) -> jax.Array:
+    """(N,) labels -> (N,) bool mask of the biggest non-noise cluster."""
+    n = labels.shape[0]
+    safe = jnp.where(labels >= 0, labels, n)
+    counts = jnp.zeros((n + 1,), dtype=jnp.int32).at[safe].add(1)
+    best = jnp.argmax(counts[:n])
+    return (labels == best) & (labels >= 0)
+
+
+@partial(jax.jit, static_argnames=("min_points", "total_pts", "n_iters"))
+def largest_cluster_batch(points: jax.Array, eps: float, min_points: int = 2,
+                          total_pts: int = 1024, valid: jax.Array | None = None,
+                          n_iters: int = 12) -> jax.Array:
+    """Batched largest-cluster extraction with fixed-size tiled output.
+
+    points (B, N, 3) -> (B, total_pts, 3); device analog of
+    sampling.py:get_largest_cluster_batch.
+    """
+    if valid is None:
+        valid = jnp.ones(points.shape[:2], dtype=bool)
+
+    def one(p, v):
+        labels = dbscan(p, eps, min_points=min_points, valid=v, n_iters=n_iters)
+        mask = largest_cluster_mask(labels)
+        # if everything was noise, fall back to the valid points themselves
+        mask = jnp.where(jnp.any(mask), mask, v)
+        out, _ = tile_to_n(p, mask, total_pts)
+        return out
+
+    return jax.vmap(one)(points, valid)

@@ -1,0 +1,144 @@
+"""Point-set sampling ops: FPS, kNN selection, partial-mesh surface select,
+fixed-size resampling. Pure XLA, fixed shapes, mask-aware.
+
+Replaces the reference's CUDA/CPU mix:
+  * pointnet2 farthest_point_sampling (pcdet/ops/pointnet2/pointnet2_batch/src/
+    sampling_gpu.cu, and the external pointnet2_ops used by VCN misc.fps)
+  * partial-mesh k-NN selection via scipy cKDTree
+    (see/.../models/vcn/utils/sampling.py:8-80)
+  * ResamplePoints tile+permute (see/.../vcn/datasets/data_transforms.py:247)
+
+Padded/invalid points are handled by boolean masks instead of ragged shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(..., N, 3) x (..., M, 3) -> (..., N, M) squared distances.
+
+    Matmul formulation so the contraction rides the MXU; f32 accumulate.
+    """
+    a2 = jnp.sum(a * a, axis=-1)[..., :, None]
+    b2 = jnp.sum(b * b, axis=-1)[..., None, :]
+    ab = jnp.matmul(a, jnp.swapaxes(b, -1, -2), precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(a2 + b2 - 2 * ab, 0.0)
+
+
+def tile_to_n(points: jax.Array, valid: jax.Array, n: int):
+    """Cyclically repeat the valid points of (M, C) to exactly (n, C).
+
+    Matches the reference's ``np.tile(sel, [n,1])[:n]`` semantics
+    (sampling.py:38-39). Returns (out (n, C), ok scalar bool).
+    """
+    m = points.shape[0]
+    order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)  # valid first
+    cnt = jnp.maximum(valid.sum(), 1)
+    idx = order[jnp.arange(n) % jnp.minimum(cnt, m)]
+    return points[idx], valid.any()
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def farthest_point_sample(points: jax.Array, n_samples: int,
+                          valid: jax.Array | None = None) -> jax.Array:
+    """Iterative FPS. points (N, 3) -> (n_samples,) int32 indices.
+
+    Starts from index 0 like the reference CUDA kernel. Invalid points are
+    never selected (their distance is forced negative); if fewer valid points
+    than n_samples exist, selections repeat among valid ones.
+    """
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+
+    def step(carry, _):
+        min_d, last = carry
+        d = jnp.sum((points - points[last]) ** 2, axis=-1)
+        min_d = jnp.minimum(min_d, d)
+        nxt = jnp.argmax(jnp.where(valid, min_d, -1.0))
+        return (min_d, nxt), last
+
+    first = jnp.argmax(valid)  # first valid point
+    init = (jnp.full((n,), jnp.inf, dtype=points.dtype), first)
+    _, idx = jax.lax.scan(step, init, None, length=n_samples)
+    return idx.astype(jnp.int32)
+
+
+def fps(points: jax.Array, n_samples: int, valid: jax.Array | None = None) -> jax.Array:
+    """Batched FPS gather: (B, N, 3) -> (B, n_samples, 3) (VCN misc.fps)."""
+    if points.ndim == 2:
+        return points[farthest_point_sample(points, n_samples, valid)]
+    f = jax.vmap(lambda p, v: p[farthest_point_sample(p, n_samples, v)])
+    if valid is None:
+        valid = jnp.ones(points.shape[:2], dtype=bool)
+    return f(points, valid)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn_union_mask(partial_pc: jax.Array, complete_pc: jax.Array, k: int,
+                   partial_valid: jax.Array | None = None) -> jax.Array:
+    """Union of the k nearest ``complete`` points over every ``partial`` point.
+
+    partial_pc (N, 3), complete_pc (M, 3) -> (M,) bool selection mask.
+    The device analog of sampling.py:partial_with_KDTree's index-set union.
+    """
+    d = pairwise_sqdist(partial_pc, complete_pc)  # (N, M)
+    if partial_valid is not None:
+        d = jnp.where(partial_valid[:, None], d, jnp.inf)
+    _, idx = jax.lax.top_k(-d, k)  # (N, k)
+    mask = jnp.zeros((complete_pc.shape[0],), dtype=bool)
+    row_ok = jnp.ones_like(idx, dtype=bool) if partial_valid is None \
+        else jnp.broadcast_to(partial_valid[:, None], idx.shape)
+    return mask.at[idx.reshape(-1)].max(row_ok.reshape(-1))
+
+
+@partial(jax.jit, static_argnames=("k", "surface_pts"))
+def partial_mesh_batch(batch_partial: jax.Array, batch_complete: jax.Array,
+                       k: int = 30, surface_pts: int = 1024,
+                       partial_valid: jax.Array | None = None) -> jax.Array:
+    """Batched partial-surface selection (sampling.py:get_partial_mesh_batch).
+
+    batch_partial (B, N, 3), batch_complete (B, M, 3) -> (B, surface_pts, 3):
+    the subset of predicted points near observed points, cyclically tiled to
+    a fixed count.
+    """
+    def one(p, c, pv):
+        sel = knn_union_mask(p, c, k, pv)
+        out, _ = tile_to_n(c, sel, surface_pts)
+        return out
+
+    if partial_valid is None:
+        partial_valid = jnp.ones(batch_partial.shape[:2], dtype=bool)
+    return jax.vmap(one)(batch_partial, batch_complete, partial_valid)
+
+
+def resample_points(points: jax.Array, valid: jax.Array, n: int, rng: jax.Array | None = None):
+    """Fixed-count resample (data_transforms.py:ResamplePoints): if fewer than
+    ``n`` valid points, cycle-tile; if more, take a (optionally shuffled)
+    subset. Returns (n, C)."""
+    if rng is not None:
+        perm = jax.random.permutation(rng, points.shape[0])
+        points = points[perm]
+        valid = valid[perm]
+    out, _ = tile_to_n(points, valid, n)
+    return out
+
+
+def three_nn_interpolate(query: jax.Array, support: jax.Array, features: jax.Array,
+                         support_valid: jax.Array | None = None) -> jax.Array:
+    """Inverse-distance-weighted 3-NN feature interpolation.
+
+    query (N, 3), support (M, 3), features (M, C) -> (N, C).
+    Replaces pointnet2 three_nn + three_interpolate (interpolate_gpu.cu).
+    """
+    d = pairwise_sqdist(query, support)
+    if support_valid is not None:
+        d = jnp.where(support_valid[None, :], d, jnp.inf)
+    neg_d, idx = jax.lax.top_k(-d, 3)  # (N, 3)
+    w = 1.0 / jnp.maximum(-neg_d, 1e-8)
+    w = w / w.sum(axis=1, keepdims=True)
+    return jnp.einsum("nk,nkc->nc", w, features[idx])
