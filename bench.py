@@ -1,0 +1,87 @@
+"""Benchmark: end-to-end SEE-VCN inference pipeline, frames/sec/chip.
+
+Measures the device path of BASELINE config 1/3 on one chip: per frame,
+VCN surface completion of 32 isolated objects (forward + partial-mesh +
+largest-cluster) followed by the SECOND-IoU detector (in-jit voxelization ->
+sparse backbone -> BEV -> anchor head -> IoU rcnn -> NMS) at KITTI scale
+(60k points, 16k voxels).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor
+12.5 frames/s is the reference stack's typical single-GPU eval throughput
+for SECOND-class models (sec_per_example ~0.08 s printed by
+tools/eval_utils/eval_utils.py:79-80), used as a provisional anchor until a
+measured reference value lands in BASELINE.json.
+"""
+import json
+import time
+
+import numpy as np
+
+PROVISIONAL_REFERENCE_FPS = 12.5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _mini_detector_cfg
+    from seevcn_tpu.models.detectors.second import build_detector, post_processing
+    from seevcn_tpu.models.vcn.nets import build_vcn
+    from seevcn_tpu.ops.clustering import largest_cluster_batch
+    from seevcn_tpu.ops.sampling import partial_mesh_batch
+
+    rng = np.random.RandomState(0)
+
+    # --- VCN stage: 32 objects/frame -------------------------------------
+    vcn = build_vcn("VCN_VC")
+    obj_pts = jnp.asarray(rng.randn(32, 1024, 3).astype(np.float32) * 1.5
+                          + np.array([15, 2, 0], np.float32))
+    vcn_vars = vcn.init(jax.random.PRNGKey(0), {"input": obj_pts})
+
+    @jax.jit
+    def vcn_stage(variables, pc):
+        ret = vcn.apply(variables, {"input": pc})
+        surface = partial_mesh_batch(pc, ret["coarse"], k=30, surface_pts=1024)
+        return largest_cluster_batch(surface, eps=0.4, min_points=2, total_pts=1024)
+
+    # --- detector stage ----------------------------------------------------
+    cfg = _mini_detector_cfg()
+    model, dcfg = build_detector(cfg)
+    B, P = 1, 60000
+    pts = np.zeros((B, P, 3), np.float32)
+    pts[:, :, 0] = rng.uniform(1, 69, (B, P))
+    pts[:, :, 1] = rng.uniform(-39, 39, (B, P))
+    pts[:, :, 2] = rng.uniform(-2.9, 0.9, (B, P))
+    jp, jv = jnp.asarray(pts), jnp.ones((B, P), bool)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jp[:, :2048], jv[:, :2048], train=False)
+
+    @jax.jit
+    def det_stage(variables, p, m):
+        out = model.apply(variables, p, m, train=False)
+        return post_processing(out, cfg.MODEL.POST_PROCESSING, 1, has_roi_head=True)
+
+    # warmup/compile
+    completed = vcn_stage(vcn_vars, obj_pts)
+    preds = det_stage(variables, jp, jv)
+    jax.block_until_ready((completed, preds))
+
+    n_iters = 20
+    t0 = time.time()
+    for _ in range(n_iters):
+        completed = vcn_stage(vcn_vars, obj_pts)
+        preds = det_stage(variables, jp, jv)
+    jax.block_until_ready((completed, preds))
+    dt = (time.time() - t0) / n_iters
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "see_vcn_e2e_inference_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / PROVISIONAL_REFERENCE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,309 @@
+"""KITTI official AP evaluation (R40), host-side numpy.
+
+Re-implements the protocol of the reference's numba evaluator
+(detector3d/pcdet/datasets/kitti/kitti_object_eval_python/eval.py:30-747):
+difficulty buckets (min bbox height / max occlusion / max truncation),
+similar-class ignores (Van~Car, Person_sitting~Pedestrian), don't-care
+regions, score-threshold sweep with 41 recall positions, greedy per-frame
+assignment, and AP_R40 = mean precision over recall 1/40..40/40.
+
+Rotated BEV / 3D IoU matrices are computed with the device kernels
+(seevcn_tpu.ops.iou3d) in batches instead of the reference's numba-CUDA
+polygon clipping.
+
+Box formats:
+  gt/dt annos: dicts with 'name', 'bbox' (N,4 image), 'location' (N,3 rect),
+  'dimensions' (N,3 l,h,w), 'rotation_y' (N,), 'alpha', 'occluded',
+  'truncated', 'score' (dt only) — the exact schema of reference
+  generate_prediction_dicts / get_label_annos.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+CLASS_NAMES = ["Car", "Pedestrian", "Cyclist", "Van", "Person_sitting", "Truck"]
+MIN_HEIGHT = [40, 25, 25]
+MAX_OCCLUSION = [0, 1, 2]
+MAX_TRUNCATION = [0.15, 0.3, 0.5]
+N_SAMPLE_PTS = 41
+
+
+def _similar_classes(cls: str):
+    return {"Car": ["Van"], "Pedestrian": ["Person_sitting"]}.get(cls, [])
+
+
+def clean_data(gt_anno, dt_anno, current_class: str, difficulty: int):
+    """Returns (num_valid_gt, ignored_gt, ignored_dt, dc_bboxes)."""
+    ignored_gt, dc_bboxes = [], []
+    num_valid_gt = 0
+    for i in range(len(gt_anno["name"])):
+        name = gt_anno["name"][i]
+        height = gt_anno["bbox"][i, 3] - gt_anno["bbox"][i, 1]
+        if name == current_class:
+            valid_class = 1
+        elif name in _similar_classes(current_class):
+            valid_class = 0
+        else:
+            valid_class = -1
+        ignore = (gt_anno["occluded"][i] > MAX_OCCLUSION[difficulty]
+                  or gt_anno["truncated"][i] > MAX_TRUNCATION[difficulty]
+                  or height <= MIN_HEIGHT[difficulty])
+        if valid_class == 1 and not ignore:
+            ignored_gt.append(0)
+            num_valid_gt += 1
+        elif valid_class == 0 or (ignore and valid_class == 1):
+            ignored_gt.append(1)
+        else:
+            ignored_gt.append(-1)
+        if name == "DontCare":
+            dc_bboxes.append(gt_anno["bbox"][i])
+
+    ignored_dt = []
+    for i in range(len(dt_anno["name"])):
+        height = dt_anno["bbox"][i, 3] - dt_anno["bbox"][i, 1]
+        if dt_anno["name"][i] == current_class:
+            valid_class = 1
+        else:
+            valid_class = -1
+        if height < MIN_HEIGHT[difficulty]:
+            ignored_dt.append(1)
+        elif valid_class == 1:
+            ignored_dt.append(0)
+        else:
+            ignored_dt.append(-1)
+
+    return (num_valid_gt, np.array(ignored_gt, np.int32),
+            np.array(ignored_dt, np.int32),
+            np.array(dc_bboxes).reshape(-1, 4))
+
+
+def image_box_overlap(boxes, qboxes, criterion=-1):
+    """2D image IoU (or intersection-over-area for dontcare, criterion=0)."""
+    n, k = len(boxes), len(qboxes)
+    if n == 0 or k == 0:
+        return np.zeros((n, k), np.float64)
+    x1 = np.maximum(boxes[:, None, 0], qboxes[None, :, 0])
+    y1 = np.maximum(boxes[:, None, 1], qboxes[None, :, 1])
+    x2 = np.minimum(boxes[:, None, 2], qboxes[None, :, 2])
+    y2 = np.minimum(boxes[:, None, 3], qboxes[None, :, 3])
+    iw = np.clip(x2 - x1, 0, None)
+    ih = np.clip(y2 - y1, 0, None)
+    inter = iw * ih
+    area_a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    area_b = (qboxes[:, 2] - qboxes[:, 0]) * (qboxes[:, 3] - qboxes[:, 1])
+    if criterion == 0:      # intersection over dt area (dontcare)
+        denom = area_a[:, None] + 0 * area_b[None, :]
+    else:
+        denom = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(denom, 1e-9)
+
+
+def _camera_to_lidar_like(annos):
+    """KITTI camera boxes (loc rect, dims l,h,w, ry) -> pseudo-lidar
+    (x=z_c, y=-x_c, z=-y_c + h/2) boxes for BEV/3D IoU. Any fixed rigid map
+    works since IoU is invariant; this matches the standard rect->velo
+    orientation so headings stay consistent."""
+    loc = annos["location"]
+    dims = annos["dimensions"]  # l, h, w
+    ry = annos["rotation_y"]
+    if len(loc) == 0:
+        return np.zeros((0, 7))
+    x, y, z = loc[:, 0], loc[:, 1], loc[:, 2]
+    l, h, w = dims[:, 0], dims[:, 1], dims[:, 2]
+    return np.stack([z, -x, -(y - h / 2), l, w, h, -ry - np.pi / 2], axis=1)
+
+
+def _bev_3d_overlaps(gt_annos, dt_annos, metric: str):
+    """Per-frame IoU matrices via the device kernels."""
+    import jax.numpy as jnp
+
+    from ...ops.iou3d import boxes_iou3d, boxes_iou_bev
+
+    out = []
+    for g, d in zip(gt_annos, dt_annos):
+        gb = _camera_to_lidar_like(g)
+        db = _camera_to_lidar_like(d)
+        if len(gb) == 0 or len(db) == 0:
+            out.append(np.zeros((len(db), len(gb)), np.float64))
+            continue
+        fn = boxes_iou_bev if metric == "bev" else boxes_iou3d
+        out.append(np.asarray(fn(jnp.asarray(db, jnp.float32),
+                                 jnp.asarray(gb, jnp.float32)), np.float64))
+    return out
+
+
+def get_thresholds(scores: np.ndarray, num_gt: int):
+    """41-point recall-sampled score thresholds (eval.py:get_thresholds)."""
+    scores = np.sort(scores)[::-1]
+    thresholds = []
+    current_recall = 0.0
+    for i, score in enumerate(scores):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
+        if ((r_recall - current_recall) < (current_recall - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(score)
+        current_recall += 1 / (N_SAMPLE_PTS - 1.0)
+    return np.array(thresholds)
+
+
+def compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
+                       dc_bboxes, metric, min_overlap, thresh=0.0,
+                       compute_fp=False):
+    """Single-frame greedy matching (eval.py:compute_statistics_jit).
+
+    overlaps: (num_dt, num_gt). Returns (tp, fp, fn, thresh_list of matched
+    dt scores).
+    """
+    dt_scores = dt_anno["score"]
+    num_dt, num_gt = len(ignored_dt), len(ignored_gt)
+    assigned = np.zeros(num_dt, bool)
+    ignored_threshold = np.zeros(num_dt, bool)
+    if compute_fp:
+        ignored_threshold = dt_scores < thresh
+
+    NO_DETECTION = -10000000
+    tp = fp = fn = 0
+    thresholds = []
+    for i in range(num_gt):
+        if ignored_gt[i] == -1:
+            continue
+        det_idx = -1
+        valid_detection = NO_DETECTION
+        max_overlap = 0.0
+        assigned_ignored_det = False
+        for j in range(num_dt):
+            if ignored_dt[j] == -1 or assigned[j] or ignored_threshold[j]:
+                continue
+            overlap = overlaps[j, i]
+            score = dt_scores[j]
+            if not compute_fp and overlap > min_overlap and score > valid_detection:
+                det_idx = j
+                valid_detection = score
+            elif (compute_fp and overlap > min_overlap
+                  and (overlap > max_overlap or assigned_ignored_det)
+                  and ignored_dt[j] == 0):
+                max_overlap = overlap
+                det_idx = j
+                valid_detection = 1
+                assigned_ignored_det = False
+            elif (compute_fp and overlap > min_overlap
+                  and valid_detection == NO_DETECTION and ignored_dt[j] == 1):
+                det_idx = j
+                valid_detection = 1
+                assigned_ignored_det = True
+
+        if valid_detection == NO_DETECTION and ignored_gt[i] == 0:
+            fn += 1
+        elif valid_detection != NO_DETECTION and (
+                ignored_gt[i] == 1 or ignored_dt[det_idx] == 1):
+            assigned[det_idx] = True
+        elif valid_detection != NO_DETECTION:
+            tp += 1
+            thresholds.append(dt_scores[det_idx])
+            assigned[det_idx] = True
+
+    if compute_fp:
+        for j in range(num_dt):
+            if not (assigned[j] or ignored_dt[j] == -1 or ignored_dt[j] == 1
+                    or ignored_threshold[j]):
+                fp += 1
+        # discount fps inside dontcare regions (bbox metric)
+        nstuff = 0
+        if metric == "bbox" and len(dc_bboxes) > 0:
+            dt_bboxes = dt_anno["bbox"]
+            ov = image_box_overlap(dt_bboxes, dc_bboxes, criterion=0)
+            for j in range(num_dt):
+                if (assigned[j] or ignored_dt[j] == -1 or ignored_dt[j] == 1
+                        or ignored_threshold[j]):
+                    continue
+                if (ov[j] > min_overlap).any():
+                    assigned[j] = True
+                    nstuff += 1
+        fp -= nstuff
+
+    return tp, fp, fn, np.array(thresholds)
+
+
+def eval_class(gt_annos, dt_annos, current_class: str, difficulty: int,
+               metric: str, min_overlap: float):
+    """-> dict(precision (41,), recall (41,), ap_r40, ap_r11)."""
+    assert metric in ("bbox", "bev", "3d")
+    frames = len(gt_annos)
+    rets = [clean_data(g, d, current_class, difficulty)
+            for g, d in zip(gt_annos, dt_annos)]
+    if metric == "bbox":
+        overlaps = [image_box_overlap(d["bbox"].reshape(-1, 4),
+                                      g["bbox"].reshape(-1, 4))
+                    for g, d in zip(gt_annos, dt_annos)]
+    else:
+        overlaps = _bev_3d_overlaps(gt_annos, dt_annos, metric)
+
+    total_valid_gt = sum(r[0] for r in rets)
+    all_thresh = []
+    for f in range(frames):
+        nv, ig, idt, dc = rets[f]
+        _, _, _, th = compute_statistics(
+            overlaps[f], gt_annos[f], dt_annos[f], ig, idt, dc, metric,
+            min_overlap, compute_fp=False)
+        all_thresh.append(th)
+    all_thresh = np.concatenate(all_thresh) if all_thresh else np.zeros(0)
+    if total_valid_gt == 0 or len(all_thresh) == 0:
+        z = np.zeros(N_SAMPLE_PTS)
+        return {"precision": z, "recall": z, "ap_r40": 0.0, "ap_r11": 0.0}
+
+    thresholds = get_thresholds(all_thresh, total_valid_gt)
+    pr = np.zeros((len(thresholds), 3))  # tp, fp, fn
+    for f in range(frames):
+        nv, ig, idt, dc = rets[f]
+        for t, thr in enumerate(thresholds):
+            tp, fp, fn, _ = compute_statistics(
+                overlaps[f], gt_annos[f], dt_annos[f], ig, idt, dc, metric,
+                min_overlap, thresh=thr, compute_fp=True)
+            pr[t] += [tp, fp, fn]
+
+    precision = np.zeros(N_SAMPLE_PTS)
+    recall = np.zeros(N_SAMPLE_PTS)
+    for t in range(len(thresholds)):
+        precision[t] = pr[t, 0] / max(pr[t, 0] + pr[t, 1], 1e-9)
+        recall[t] = pr[t, 0] / max(pr[t, 0] + pr[t, 2], 1e-9)
+    # right-cummax (standard interpolation)
+    for t in range(N_SAMPLE_PTS):
+        precision[t] = precision[t:].max()
+        recall[t] = recall[t:].max()
+
+    ap_r40 = sum(precision[1:41]) / 40 * 100
+    ap_r11 = sum(precision[0:41:4]) / 11 * 100
+    return {"precision": precision, "recall": recall,
+            "ap_r40": float(ap_r40), "ap_r11": float(ap_r11)}
+
+
+# default overlap thresholds (eval.py:639-660, overlap_0_7 table)
+MIN_OVERLAPS = {
+    "Car": {"bbox": 0.7, "bev": 0.7, "3d": 0.7},
+    "Pedestrian": {"bbox": 0.5, "bev": 0.5, "3d": 0.5},
+    "Cyclist": {"bbox": 0.5, "bev": 0.5, "3d": 0.5},
+    "Van": {"bbox": 0.7, "bev": 0.7, "3d": 0.7},
+    "Truck": {"bbox": 0.7, "bev": 0.7, "3d": 0.7},
+    "Person_sitting": {"bbox": 0.5, "bev": 0.5, "3d": 0.5},
+}
+
+
+def get_official_eval_result(gt_annos, dt_annos, classes=("Car",)):
+    """-> (report string, dict {class: {metric: {difficulty: ap_r40}}})."""
+    results = {}
+    lines = []
+    for cls in classes:
+        results[cls] = {}
+        for metric in ("bbox", "bev", "3d"):
+            results[cls][metric] = {}
+            aps = []
+            for diff in (0, 1, 2):
+                r = eval_class(gt_annos, dt_annos, cls, diff, metric,
+                               MIN_OVERLAPS[cls][metric])
+                results[cls][metric][diff] = r["ap_r40"]
+                aps.append(r["ap_r40"])
+            lines.append(f"{cls} AP_R40@{MIN_OVERLAPS[cls][metric]:.2f} "
+                         f"({metric}): {aps[0]:.4f}, {aps[1]:.4f}, {aps[2]:.4f}")
+    return "\n".join(lines), results

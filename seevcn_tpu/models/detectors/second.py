@@ -1,0 +1,327 @@
+"""SECOND / SECOND-IoU / PointPillars detectors, assembled from reference
+YAML configs.
+
+Reference topology (detector3d_template.py:23-50 + second_net_iou.py):
+  MeanVFE -> VoxelBackBone8x -> HeightCompression -> BaseBEVBackbone ->
+  AnchorHeadSingle [-> SECONDHead IoU rcnn].
+
+Everything device-side is one linen module over fixed-shape padded buffers:
+input is (B, P, 3+C) padded points + validity, voxelization happens INSIDE
+the jitted forward (no host voxelizer), and post-processing (NMS) is a
+separate jitted function so eval composes forward+post on device.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import sparse as SP
+from ...ops.nms import nms_bev
+from ...ops.voxelize import grid_size as compute_grid_size
+from ...ops.voxelize import voxelize_batch
+from ..modules.backbone2d import BaseBEVBackbone
+from ..modules.backbone3d import VoxelBackBone8x, VoxelResBackBone8x
+from ..modules.dense_heads import AnchorHeadLogic, AnchorHeadSingle
+from ..modules.map_to_bev import height_compression, pillar_scatter
+from ..modules.roi_heads import (SECONDHead, proposal_layer, rcnn_iou_loss,
+                                 roi_grid_pool_bev, sample_rois_for_rcnn)
+from ..modules.vfe import DynamicPillarVFE
+
+
+class DetectorConfig:
+    """Static (trace-time) detector configuration derived from a reference
+    pcdet YAML (MODEL + DATA_CONFIG blocks)."""
+
+    def __init__(self, model_cfg, data_cfg, class_names, max_voxels=None):
+        self.model_cfg = model_cfg
+        self.class_names = list(class_names)
+        self.num_class = len(self.class_names)
+        self.point_cloud_range = [float(v) for v in data_cfg.POINT_CLOUD_RANGE]
+
+        vox = [p for p in data_cfg.DATA_PROCESSOR
+               if p.NAME == "transform_points_to_voxels"][0]
+        self.voxel_size = [float(v) for v in vox.VOXEL_SIZE]
+        mv = vox.MAX_NUMBER_OF_VOXELS
+        self.max_voxels = int(max_voxels or (mv["test"] if isinstance(mv, dict) else mv))
+        self.max_points_per_voxel = int(vox.get("MAX_POINTS_PER_VOXEL", 5))
+        self.grid_size = compute_grid_size(self.point_cloud_range, self.voxel_size)
+
+        feat_cfg = data_cfg.get("POINT_FEATURE_ENCODING", None)
+        self.num_point_features = len(feat_cfg.used_feature_list) if feat_cfg else 4
+
+        self.head_logic = AnchorHeadLogic(
+            model_cfg.DENSE_HEAD, self.num_class, self.class_names,
+            self.grid_size, self.point_cloud_range)
+
+
+class SECONDNetIoU(nn.Module):
+    """SECOND + IoU rcnn head (the DA flagship, second_net_iou.py)."""
+    cfg: Any  # DetectorConfig
+
+    @nn.compact
+    def __call__(self, points, points_valid, gt_boxes=None, train: bool = False,
+                 rng=None):
+        cfg = self.cfg
+        mcfg = cfg.model_cfg
+
+        # --- VFE (MeanVFE == voxelizer mean) + sparse backbone -------------
+        feats, coords, mask = voxelize_batch(
+            points, points_valid, point_cloud_range=cfg.point_cloud_range,
+            voxel_size=cfg.voxel_size, max_voxels=cfg.max_voxels,
+            max_points_per_voxel=cfg.max_points_per_voxel)
+        nzyx = (int(cfg.grid_size[2]) + 1, int(cfg.grid_size[1]), int(cfg.grid_size[0]))
+        st = SP.make_sparse_tensor(feats, coords, mask, nzyx, points.shape[0])
+
+        bb_name = mcfg.BACKBONE_3D.NAME
+        backbone = {"VoxelBackBone8x": VoxelBackBone8x,
+                    "VoxelResBackBone8x": VoxelResBackBone8x}[bb_name]
+        bb_out = backbone(input_channels=cfg.num_point_features,
+                          name="backbone_3d")(st, train)
+
+        # --- BEV ------------------------------------------------------------
+        bev = height_compression(bb_out["encoded_spconv_tensor"])
+        b2 = mcfg.BACKBONE_2D
+        bev2d = BaseBEVBackbone(
+            layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
+            num_filters=tuple(b2.NUM_FILTERS),
+            upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", ())),
+            num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
+            name="backbone_2d")(bev, train)
+
+        # --- dense head -------------------------------------------------------
+        logic = cfg.head_logic
+        head_out = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=logic.num_anchors_per_location,
+            code_size=logic.box_coder.code_size,
+            num_dir_bins=logic.num_dir_bins,
+            name="dense_head")(bev2d)
+
+        batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
+
+        out = {"head_out": head_out,
+               "batch_cls_preds": batch_cls_preds,
+               "batch_box_preds": batch_box_preds,
+               "spatial_features_2d": bev2d}
+
+        # --- rcnn IoU head ---------------------------------------------------
+        rcfg = mcfg.ROI_HEAD
+        nms_cfg = rcfg.NMS_CONFIG["TRAIN" if train else "TEST"]
+        props = proposal_layer(batch_cls_preds, batch_box_preds, nms_cfg)
+
+        if train:
+            assert gt_boxes is not None and rng is not None
+            sample_rngs = jax.random.split(rng, points.shape[0])
+            targets = jax.vmap(
+                lambda r, ro, rl, rs, rm, gt: sample_rois_for_rcnn(
+                    r, ro, rl, rs, rm, gt, rcfg.TARGET_CONFIG)
+            )(sample_rngs, props["rois"], props["roi_labels"],
+              props["roi_scores"], props["roi_mask"], gt_boxes)
+            rois = targets["rois"]
+            out["rcnn_targets"] = targets
+        else:
+            rois = props["rois"]
+            out["rois"] = rois
+            out["roi_scores"] = props["roi_scores"]
+            out["roi_labels"] = props["roi_labels"]
+            out["roi_mask"] = props["roi_mask"]
+
+        pooled = roi_grid_pool_bev(
+            bev2d, rois[..., :7], int(rcfg.ROI_GRID_POOL.GRID_SIZE),
+            cfg.point_cloud_range, cfg.voxel_size,
+            int(rcfg.ROI_GRID_POOL.DOWNSAMPLE_RATIO))
+        # the reference detaches BEV features for the rcnn head
+        pooled = jax.lax.stop_gradient(pooled) if train else pooled
+        rcnn_iou = SECONDHead(
+            shared_fc=tuple(rcfg.SHARED_FC), iou_fc=tuple(rcfg.IOU_FC),
+            dp_ratio=float(rcfg.DP_RATIO), name="roi_head")(pooled, train)
+        out["rcnn_iou"] = rcnn_iou
+        return out
+
+    def loss(self, out, gt_boxes):
+        cfg = self.cfg
+        logic = cfg.head_logic
+        targets = logic.assign_targets(gt_boxes)
+        rpn_loss, tb = logic.loss(out["head_out"], targets)
+        rcnn = rcnn_iou_loss(
+            out["rcnn_iou"], out["rcnn_targets"]["rcnn_cls_labels"],
+            loss_type=cfg.model_cfg.ROI_HEAD.LOSS_CONFIG.IOU_LOSS,
+            weight=float(cfg.model_cfg.ROI_HEAD.LOSS_CONFIG.LOSS_WEIGHTS["rcnn_iou_weight"]))
+        tb["rcnn_loss_iou"] = rcnn
+        return rpn_loss + rcnn, tb
+
+
+class SECONDNet(nn.Module):
+    """Plain SECOND (second_net.py:4-34): dense head only."""
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, points, points_valid, gt_boxes=None, train: bool = False,
+                 rng=None):
+        cfg = self.cfg
+        mcfg = cfg.model_cfg
+        feats, coords, mask = voxelize_batch(
+            points, points_valid, point_cloud_range=cfg.point_cloud_range,
+            voxel_size=cfg.voxel_size, max_voxels=cfg.max_voxels,
+            max_points_per_voxel=cfg.max_points_per_voxel)
+        nzyx = (int(cfg.grid_size[2]) + 1, int(cfg.grid_size[1]), int(cfg.grid_size[0]))
+        st = SP.make_sparse_tensor(feats, coords, mask, nzyx, points.shape[0])
+        bb_out = VoxelBackBone8x(input_channels=cfg.num_point_features,
+                                 name="backbone_3d")(st, train)
+        bev = height_compression(bb_out["encoded_spconv_tensor"])
+        b2 = mcfg.BACKBONE_2D
+        bev2d = BaseBEVBackbone(
+            layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
+            num_filters=tuple(b2.NUM_FILTERS),
+            upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", ())),
+            num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
+            name="backbone_2d")(bev, train)
+        logic = cfg.head_logic
+        head_out = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=logic.num_anchors_per_location,
+            code_size=logic.box_coder.code_size,
+            num_dir_bins=logic.num_dir_bins, name="dense_head")(bev2d)
+        batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
+        return {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
+                "batch_box_preds": batch_box_preds, "spatial_features_2d": bev2d}
+
+    def loss(self, out, gt_boxes):
+        logic = self.cfg.head_logic
+        targets = logic.assign_targets(gt_boxes)
+        return logic.loss(out["head_out"], targets)
+
+
+class PointPillar(nn.Module):
+    """PointPillars (pointpillar.py): dynamic pillar VFE + scatter + 2D."""
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, points, points_valid, gt_boxes=None, train: bool = False,
+                 rng=None):
+        cfg = self.cfg
+        mcfg = cfg.model_cfg
+        from ...ops.voxelize import voxelize
+
+        def per_frame(pts, v):
+            return voxelize(pts, v, point_cloud_range=cfg.point_cloud_range,
+                            voxel_size=cfg.voxel_size, max_voxels=cfg.max_voxels)
+
+        res = jax.vmap(per_frame)(points, points_valid)
+        b, vcap = res.features.shape[:2]
+
+        vfe_cfg = mcfg.VFE
+        vfe = DynamicPillarVFE(
+            num_filters=tuple(vfe_cfg.get("NUM_FILTERS", [64])),
+            voxel_size=tuple(cfg.voxel_size),
+            point_cloud_range=tuple(cfg.point_cloud_range),
+            use_absolute_xyz=bool(vfe_cfg.get("USE_ABSLOTE_XYZ",
+                                              vfe_cfg.get("USE_ABSOLUTE_XYZ", True))),
+            with_distance=bool(vfe_cfg.get("WITH_DISTANCE", False)),
+            name="vfe")
+
+        def frame_feats(pts, r):
+            sorted_pts = pts[r.point_order]
+            coords4 = jnp.concatenate(
+                [jnp.zeros((vcap, 1), jnp.int32), r.coords], axis=1)
+            return vfe(sorted_pts, r.point_voxel_id, r.features[:, :3], coords4,
+                       vcap, train)
+
+        pillar_feats = jax.vmap(frame_feats)(points, res)    # (B, V, C)
+        bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, vcap))
+        coords = jnp.concatenate([
+            bidx[..., None],
+            res.coords.reshape(b, vcap, 3)], axis=-1).reshape(b * vcap, 4)
+        canvas = pillar_scatter(pillar_feats.reshape(b * vcap, -1), coords,
+                                res.mask.reshape(-1), b,
+                                (int(cfg.grid_size[0]), int(cfg.grid_size[1])))
+
+        b2 = mcfg.BACKBONE_2D
+        bev2d = BaseBEVBackbone(
+            layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
+            num_filters=tuple(b2.NUM_FILTERS),
+            upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", ())),
+            num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
+            name="backbone_2d")(canvas, train)
+        logic = cfg.head_logic
+        head_out = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=logic.num_anchors_per_location,
+            code_size=logic.box_coder.code_size,
+            num_dir_bins=logic.num_dir_bins, name="dense_head")(bev2d)
+        batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
+        return {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
+                "batch_box_preds": batch_box_preds, "spatial_features_2d": bev2d}
+
+    def loss(self, out, gt_boxes):
+        logic = self.cfg.head_logic
+        targets = logic.assign_targets(gt_boxes)
+        return logic.loss(out["head_out"], targets)
+
+
+# --------------------------------------------------------------------------- #
+# post-processing (detector3d_template.py:178-284 / second_net_iou.py:75-177)
+# --------------------------------------------------------------------------- #
+
+def post_processing(out: dict, post_cfg, num_class: int, has_roi_head: bool):
+    """Config-driven final NMS. Returns per-frame fixed-size dicts:
+    pred_boxes (B, N, 7), pred_scores (B, N), pred_labels (B, N), mask."""
+    nms_cfg = post_cfg.NMS_CONFIG
+    score_thresh = float(post_cfg.get("SCORE_THRESH", 0.1))
+
+    if has_roi_head:
+        boxes = out["rois"]
+        iou_preds = jax.nn.sigmoid(out["rcnn_iou"])            # (B, R)
+        cls_preds = jax.nn.sigmoid(out["roi_scores"])
+        labels = out["roi_labels"]
+        valid = out["roi_mask"]
+        score_type = nms_cfg.get("SCORE_TYPE", "iou")
+        if score_type in (None, "iou"):
+            scores = iou_preds
+        elif score_type == "cls":
+            scores = cls_preds
+        elif score_type == "weighted_iou_cls":
+            w = nms_cfg.SCORE_WEIGHTS
+            scores = float(w["iou"]) * iou_preds + float(w["cls"]) * cls_preds
+        else:
+            raise NotImplementedError(score_type)
+    else:
+        cls = jax.nn.sigmoid(out["batch_cls_preds"])           # (B, A, ncls)
+        scores = cls.max(axis=-1)
+        labels = cls.argmax(axis=-1) + 1
+        boxes = out["batch_box_preds"]
+        valid = jnp.ones(scores.shape, dtype=bool)
+
+    def one(bx, sc, lb, vd):
+        idx, keep, kscores = nms_bev(
+            bx[:, :7], sc, thresh=float(nms_cfg.NMS_THRESH),
+            pre_maxsize=int(nms_cfg.NMS_PRE_MAXSIZE),
+            post_maxsize=int(nms_cfg.NMS_POST_MAXSIZE),
+            score_thresh=score_thresh, valid_mask=vd)
+        return (jnp.where(keep[:, None], bx[idx], 0.0),
+                jnp.where(keep, sc[idx], 0.0),
+                jnp.where(keep, lb[idx], 0), keep)
+
+    pb, ps, pl, pm = jax.vmap(one)(boxes, scores, labels, valid)
+    return {"pred_boxes": pb, "pred_scores": ps,
+            "pred_labels": pl.astype(jnp.int32), "pred_mask": pm}
+
+
+DETECTORS = {
+    "SECONDNet": SECONDNet,
+    "SECONDNetIoU": SECONDNetIoU,
+    "PointPillar": PointPillar,
+}
+
+
+def build_detector(cfg, data_cfg=None, class_names=None, max_voxels=None):
+    """cfg: full pcdet YAML Cfg (MODEL/DATA_CONFIG/CLASS_NAMES)."""
+    model_cfg = cfg.MODEL
+    data_cfg = data_cfg or cfg.DATA_CONFIG
+    class_names = class_names or cfg.CLASS_NAMES
+    dcfg = DetectorConfig(model_cfg, data_cfg, class_names, max_voxels=max_voxels)
+    return DETECTORS[model_cfg.NAME](cfg=dcfg), dcfg

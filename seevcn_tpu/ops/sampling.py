@@ -142,3 +142,28 @@ def three_nn_interpolate(query: jax.Array, support: jax.Array, features: jax.Arr
     w = 1.0 / jnp.maximum(-neg_d, 1e-8)
     w = w / w.sum(axis=1, keepdims=True)
     return jnp.einsum("nk,nkc->nc", w, features[idx])
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def within_radius_mask(a: jax.Array, b: jax.Array, radius: float,
+                       b_valid: jax.Array | None = None,
+                       chunk: int = 8192) -> jax.Array:
+    """(N,) bool: does each point of ``a`` have a ``b`` point within radius?
+
+    Chunked over ``a`` to bound the (chunk, M) distance buffer. Replaces the
+    reference's o3d compute_point_cloud_distance in
+    replace_with_completed_pts (SEE_VCN.py:247-265).
+    """
+    n = a.shape[0]
+    r2 = radius * radius
+    pad = (-n) % chunk
+    a_p = jnp.pad(a, ((0, pad), (0, 0)))
+
+    def one(chunk_pts):
+        d = pairwise_sqdist(chunk_pts, b)
+        if b_valid is not None:
+            d = jnp.where(b_valid[None, :], d, jnp.inf)
+        return jnp.min(d, axis=1) <= r2
+
+    out = jax.lax.map(one, a_p.reshape(-1, chunk, 3))
+    return out.reshape(-1)[:n]

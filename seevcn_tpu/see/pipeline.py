@@ -1,0 +1,206 @@
+"""SEE surface-completion pipeline.
+
+TPU rebuild of the reference SEE core (see/surface_completion/SEE_VCN.py):
+isolate each car's points — GT-box crop on the source domain, image-mask
+projection + density clustering on the target domain — complete them with
+VCN, and splice the completed surfaces back into the frame cloud.
+
+Differences from the reference (all device-side batching, same outputs):
+  * GT crop / mask lookup / clustering / replacement run as fixed-shape
+    jitted ops over padded instance buffers instead of per-object host loops
+    (o3d crop, cKDTree, cluster_dbscan).
+  * The adaptive DBSCAN eps (eps_scaling * range * tan(vres), SEE_VCN.py:
+    167-171) becomes a per-instance scalar input to one batched program.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..geom.boxes import points_in_boxes
+from ..models.vcn.inference import VCNInference
+from ..ops.clustering import dbscan, largest_cluster_mask
+from ..ops.sampling import within_radius_mask
+from .masks import get_pts_in_mask
+
+
+class SEEVCN:
+    """cfg mirrors the reference SEE YAML (PC_ISOLATION / SURFACE_COMPLETION
+    blocks, see cfgs/*.yaml)."""
+
+    def __init__(self, cfg, data_obj=None):
+        self.cfg = cfg
+        self.data_obj = data_obj
+        iso = cfg.get("PC_ISOLATION", {})
+        self.min_lidar_pts = int(iso.get("MIN_LIDAR_PTS", 30))
+        self.eps_scaling = float(iso.get("EPS_SCALING", 4.0))
+        self.min_eps = float(iso.get("MIN_EPS", 0.3))
+        self.max_eps = float(iso.get("MAX_EPS", 1.0))
+        sc = cfg.get("SURFACE_COMPLETION", {})
+        self.vres = float(sc.get("VRES", 0.4))
+        self.vcn = VCNInference.from_cfg(sc.VCN) if sc.get("VCN") else None
+
+    # ------------------------------------------------------------------ #
+    # GT path (source domain, SEE_VCN.py:46-115)
+    # ------------------------------------------------------------------ #
+
+    def isolate_gt_pts(self, points: np.ndarray, gt_boxes: np.ndarray,
+                       ground_lift: float = 0.1):
+        """points (N, 3+), gt_boxes (M, 7) -> (list of per-object point
+        arrays, list of boxes) for objects with >= min_lidar_pts points."""
+        import jax.numpy as jnp
+
+        if len(gt_boxes) == 0:
+            return [], []
+        boxes = np.array(gt_boxes[:, :7], np.float32, copy=True)
+        boxes[:, 2] += ground_lift  # lift crop box off the ground
+        inside = np.asarray(points_in_boxes(
+            jnp.asarray(points[:, :3], jnp.float32), jnp.asarray(boxes)))
+        pcds, labels = [], []
+        for i in range(len(boxes)):
+            obj = points[inside[i], :3]
+            if len(obj) >= self.min_lidar_pts:
+                pcds.append(obj)
+                labels.append(gt_boxes[i, :7])
+        return pcds, labels
+
+    def complete_gt_pts(self, isolated_pts, gt_labels):
+        if not isolated_pts:
+            return {"all_instances": None}
+        ret = self.vcn(isolated_pts, gtboxes=gt_labels)
+        ret["all_instances"] = np.unique(
+            np.vstack(ret["clustered"]).astype(np.float32), axis=0)
+        return ret
+
+    # ------------------------------------------------------------------ #
+    # DET path (target domain, SEE_VCN.py:117-245)
+    # ------------------------------------------------------------------ #
+
+    def get_det_instances(self, idx, camera_channels=None, shrink_percentage=None,
+                          use_bbox=False):
+        do = self.data_obj
+        camera_channels = camera_channels or do.camera_channels
+        if shrink_percentage is None:
+            shrink_percentage = getattr(do, "shrink_mask_percentage", 0)
+        proj = []
+        for cam in camera_channels:
+            imgfov = do.map_pointcloud_to_image(idx, camera_channel=cam)
+            instances = do.get_camera_instances(idx, channel=cam)
+            proj.append(get_pts_in_mask(do.masks[cam], instances, imgfov,
+                                        shrink_percentage=shrink_percentage,
+                                        use_bbox=use_bbox))
+        return proj
+
+    def isolate_det_pts(self, proj_dicts, min_cluster: int = 10,
+                        max_instance_pts: int = 2048):
+        """Mask-selected point sets -> largest density cluster per instance,
+        batched on device with per-instance adaptive eps."""
+        import jax
+        import jax.numpy as jnp
+
+        merged = {}
+        for pd in proj_dicts:
+            for k, v in pd.items():
+                merged.setdefault(k, []).extend(v)
+
+        raw = [x for x in merged.get("lidar_xyz", []) if x.shape[0] > min_cluster]
+        if not raw:
+            return []
+
+        b = len(raw)
+        pts = np.zeros((b, max_instance_pts, 3), np.float32)
+        valid = np.zeros((b, max_instance_pts), bool)
+        eps = np.zeros((b,), np.float32)
+        keep_idx = []
+        for i, xyz in enumerate(raw):
+            xyz = np.asarray(xyz, np.float32)[:, :3]
+            if len(xyz) > max_instance_pts:
+                sel = np.random.RandomState(0).choice(len(xyz), max_instance_pts,
+                                                      replace=False)
+                xyz = xyz[sel]
+            pts[i, :len(xyz)] = xyz
+            valid[i, :len(xyz)] = True
+            dist = np.linalg.norm(xyz.mean(axis=0))
+            ring_h = dist * np.tan(self.vres * np.pi / 180)
+            eps[i] = np.clip(self.eps_scaling * ring_h, self.min_eps, self.max_eps)
+            keep_idx.append(i)
+
+        def one(p, v, e):
+            labels = dbscan(p, e, min_points=3, valid=v)
+            return largest_cluster_mask(labels)
+
+        masks = np.asarray(jax.jit(jax.vmap(one))(
+            jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(eps)))
+
+        instances = []
+        for i in range(b):
+            clustered = pts[i][masks[i]]
+            if clustered.shape[0] > min_cluster:
+                instances.append(clustered)
+        return instances
+
+    def merge_multi_camera_detections(self, instances, min_overlap: int = 3,
+                                      min_dist_to_check: float = 3.0,
+                                      radius: float = 0.1):
+        """Merge per-camera clusters of the same physical object
+        (SEE_VCN.py:183-209)."""
+        import jax.numpy as jnp
+
+        inst = list(instances)
+        dists = [np.linalg.norm(x.mean(axis=0)) for x in inst]
+        joined = set()
+        n0 = len(inst)
+        for i in range(n0):
+            for j in range(n0):
+                if i == j or j in joined:
+                    continue
+                if abs(dists[i] - dists[j]) >= min_dist_to_check:
+                    continue
+                near = np.asarray(within_radius_mask(
+                    jnp.asarray(inst[j], jnp.float32),
+                    jnp.asarray(inst[i], jnp.float32), radius, chunk=2048))
+                if near.sum() > min_overlap:
+                    inst.append(np.vstack([inst[i], inst[j]]))
+                    joined.update((i, j))
+        return [inst[i] for i in range(len(inst)) if i not in joined]
+
+    def complete_det_pts(self, instances):
+        if self.data_obj is not None and len(self.data_obj.camera_channels) > 1:
+            instances = self.merge_multi_camera_detections(instances)
+        filtered = [x for x in instances if x.shape[0] > self.min_lidar_pts]
+        if not filtered:
+            return {"all_instances": None}
+        ret = self.vcn(filtered)
+        ret["all_instances"] = np.unique(
+            np.vstack(ret["clustered"]).astype(np.float32), axis=0)
+        return ret
+
+    # ------------------------------------------------------------------ #
+    # splice (SEE_VCN.py:247-265)
+    # ------------------------------------------------------------------ #
+
+    def replace_with_completed_pts(self, points: np.ndarray, sc_instances,
+                                   point_dist_thresh: float = 0.1) -> np.ndarray:
+        import jax.numpy as jnp
+
+        if sc_instances is None:
+            return points[:, :3]
+        near = np.asarray(within_radius_mask(
+            jnp.asarray(points[:, :3], jnp.float32),
+            jnp.asarray(sc_instances, jnp.float32), point_dist_thresh))
+        return np.vstack([sc_instances, points[~near, :3]]).astype(np.float32)
+
+    # ------------------------------------------------------------------ #
+    # frame drivers (sc_multiproc.py:17-63)
+    # ------------------------------------------------------------------ #
+
+    def process_gt_frame(self, points, gt_boxes):
+        pcds, labels = self.isolate_gt_pts(points, gt_boxes)
+        ret = self.complete_gt_pts(pcds, labels)
+        return self.replace_with_completed_pts(points, ret["all_instances"])
+
+    def process_det_frame(self, idx):
+        proj = self.get_det_instances(idx)
+        instances = self.isolate_det_pts(proj)
+        ret = self.complete_det_pts(instances)
+        points = self.data_obj.get_pointcloud(idx)
+        return self.replace_with_completed_pts(points, ret["all_instances"])

@@ -1,0 +1,79 @@
+"""Optimizers & LR schedules from reference OPTIMIZATION configs.
+
+Reference: detector3d/tools/train_utils/optimization/ — fastai OptimWrapper
+with true weight decay + OneCycle lr/momentum schedule
+(learning_schedules_fastai.py), adam_onecycle being the config used by every
+shipped detector; VCN side uses plain Adam/AdamW/SGD + StepLR/OneCycle
+(models/vcn/tools/builder.py:49-76).
+
+optax equivalents: adam_onecycle -> adamw + cosine_onecycle_schedule (the
+fastai OneCycle is two cosine phases; optax's matches up to the momentum
+cycling, which we reproduce with b1 scheduling), adam/sgd + step decay.
+"""
+from __future__ import annotations
+
+import optax
+
+
+def build_lr_schedule(opt_cfg, total_steps: int):
+    name = opt_cfg.OPTIMIZER
+    lr = float(opt_cfg.LR)
+    if name in ("adam_onecycle", "onecycle"):
+        return optax.cosine_onecycle_schedule(
+            transition_steps=max(total_steps, 1),
+            peak_value=lr,
+            pct_start=float(opt_cfg.get("PCT_START", 0.4)),
+            div_factor=float(opt_cfg.get("DIV_FACTOR", 10)),
+            final_div_factor=1e4,
+        )
+    # step decay (adam/sgd path, train_utils/optimization/__init__.py:38-63)
+    decay_steps = opt_cfg.get("DECAY_STEP_LIST", [])
+    decay = float(opt_cfg.get("LR_DECAY", 0.1))
+    steps_per_epoch = max(total_steps // max(int(opt_cfg.get("NUM_EPOCHS", 1)), 1), 1)
+    boundaries = {int(e) * steps_per_epoch: decay for e in decay_steps}
+    sched = optax.piecewise_constant_schedule(lr, boundaries)
+    clip = float(opt_cfg.get("LR_CLIP", 0.0))
+    if clip > 0:
+        base = sched
+        sched = lambda step: jnp_maximum(base(step), clip)  # noqa: E731
+    return sched
+
+
+def jnp_maximum(a, b):
+    import jax.numpy as jnp
+
+    return jnp.maximum(a, b)
+
+
+def build_optimizer(opt_cfg, total_steps: int) -> optax.GradientTransformation:
+    sched = build_lr_schedule(opt_cfg, total_steps)
+    name = opt_cfg.OPTIMIZER
+    wd = float(opt_cfg.get("WEIGHT_DECAY", 0.0))
+    grad_clip = float(opt_cfg.get("GRAD_NORM_CLIP", 0.0))
+
+    if name == "adam_onecycle":
+        moms = opt_cfg.get("MOMS", [0.95, 0.85])
+        # fastai cycles b1 opposite to lr: high -> low -> high
+        b1 = optax.cosine_onecycle_schedule(
+            transition_steps=max(total_steps, 1),
+            peak_value=float(moms[1]),
+            pct_start=float(opt_cfg.get("PCT_START", 0.4)),
+            div_factor=float(moms[1]) / float(moms[0]),
+            final_div_factor=float(moms[1]) / float(moms[0]),
+        )
+        tx = optax.inject_hyperparams(
+            lambda learning_rate, b1: optax.adamw(learning_rate, b1=b1,
+                                                  weight_decay=wd)
+        )(learning_rate=sched, b1=b1)
+    elif name == "adam":
+        tx = optax.adam(sched)
+    elif name == "adamw":
+        tx = optax.adamw(sched, weight_decay=wd)
+    elif name == "sgd":
+        tx = optax.sgd(sched, momentum=float(opt_cfg.get("MOMENTUM", 0.9)))
+    else:
+        raise NotImplementedError(name)
+
+    if grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx

@@ -73,7 +73,11 @@ def merge_new_config(config: Cfg, new_config: dict, root_dir: str | None = None)
     for key, val in new_config.items():
         if key in _BASE_KEYS:
             continue
-        if isinstance(val, dict) and key in config and isinstance(config[key], dict):
+        if isinstance(val, dict):
+            if not (key in config and isinstance(config[key], dict)):
+                config[key] = Cfg()
+            # recurse so nested _BASE_CONFIG_ blocks expand too (pcdet puts
+            # them inside DATA_CONFIG / DATA_CONFIG_TAR)
             merge_new_config(config[key], val, root_dir=root_dir)
         else:
             config[key] = copy.deepcopy(val)

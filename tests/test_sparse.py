@@ -1,0 +1,177 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from seevcn_tpu.ops import sparse as SP
+from seevcn_tpu.ops.voxelize import voxelize, voxelize_batch, grid_size
+
+
+def _random_sparse(rng, batch=2, dims=(6, 8, 10), cin=5, density=0.15, capacity=None):
+    nz, ny, nx = dims
+    occ = rng.rand(batch, nz, ny, nx) < density
+    coords = np.argwhere(occ)  # (N, 4) [b, z, y, x]
+    n = len(coords)
+    feats = rng.randn(n, cin).astype(np.float32)
+    capacity = capacity or (n + 7)
+    # key-sort (batch-major) to satisfy the invariant
+    key = ((coords[:, 0] * nz + coords[:, 1]) * ny + coords[:, 2]) * nx + coords[:, 3]
+    order = np.argsort(key)
+    coords, feats = coords[order], feats[order]
+    # pad to capacity
+    pad = capacity - n
+    coords = np.concatenate([coords, np.zeros((pad, 4), np.int64)]).astype(np.int32)
+    feats = np.concatenate([feats, np.zeros((pad, cin), np.float32)])
+    mask = np.arange(capacity) < n
+    st = SP.make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords),
+                               jnp.asarray(mask), dims, batch)
+    dense = np.zeros((batch, nz, ny, nx, cin), np.float32)
+    dense[occ] = feats[:n]
+    return st, dense, occ
+
+
+def _dense_conv(dense, w_kio, stride, padding, kernel):
+    # w_kio: (K, Cin, Cout) z-major -> (kz, ky, kx, Cin, Cout)
+    kz, ky, kx = kernel
+    w = np.asarray(w_kio).reshape(kz, ky, kx, w_kio.shape[1], w_kio.shape[2])
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(dense), jnp.asarray(w),
+        window_strides=stride, padding=[(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return np.asarray(out)
+
+
+def test_subm_conv_matches_dense_at_active_sites():
+    rng = np.random.RandomState(0)
+    st, dense, occ = _random_sparse(rng)
+    w = rng.randn(27, 5, 7).astype(np.float32) * 0.3
+    out = SP.subm_conv3d(st, jnp.asarray(w), kernel_size=3, padding=1)
+    ref = _dense_conv(dense, w, (1, 1, 1), (1, 1, 1), (3, 3, 3))
+    got = np.asarray(out.features)
+    coords = np.asarray(out.coords)
+    m = np.asarray(out.mask)
+    for i in np.where(m)[0]:
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[i], ref[b, z, y, x], atol=1e-4)
+
+
+def test_sparse_conv_stride2_matches_dense():
+    rng = np.random.RandomState(1)
+    st, dense, occ = _random_sparse(rng, dims=(7, 9, 11))
+    w = rng.randn(27, 5, 6).astype(np.float32) * 0.3
+    out = SP.sparse_conv3d(st, jnp.asarray(w), kernel_size=3, stride=2, padding=1,
+                           out_capacity=st.features.shape[0] * 2)
+    ref = _dense_conv(dense, w, (2, 2, 2), (1, 1, 1), (3, 3, 3))
+    got = np.asarray(out.features)
+    coords = np.asarray(out.coords)
+    m = np.asarray(out.mask)
+    assert out.spatial_shape == ref.shape[1:4]
+    # active outputs match dense conv
+    active = set()
+    for i in np.where(m)[0]:
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[i], ref[b, z, y, x], atol=1e-4)
+        active.add((b, z, y, x))
+    # every nonzero dense output position must be in the active set
+    nz_pos = np.argwhere(np.abs(ref).max(axis=-1) > 1e-5)
+    for b, z, y, x in nz_pos:
+        assert (b, z, y, x) in active
+
+
+def test_sparse_conv_anisotropic_kernel():
+    """conv_out in VoxelBackBone8x: kernel (3,1,1), stride (2,1,1), pad 0."""
+    rng = np.random.RandomState(2)
+    st, dense, occ = _random_sparse(rng, dims=(5, 6, 7))
+    w = rng.randn(3, 5, 4).astype(np.float32) * 0.3
+    out = SP.sparse_conv3d(st, jnp.asarray(w), kernel_size=(3, 1, 1),
+                           stride=(2, 1, 1), padding=0,
+                           out_capacity=st.features.shape[0] * 2)
+    ref = _dense_conv(dense, w, (2, 1, 1), (0, 0, 0), (3, 1, 1))
+    assert out.spatial_shape == ref.shape[1:4]
+    coords = np.asarray(out.coords)
+    m = np.asarray(out.mask)
+    got = np.asarray(out.features)
+    for i in np.where(m)[0]:
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[i], ref[b, z, y, x], atol=1e-4)
+
+
+def test_to_dense_roundtrip():
+    rng = np.random.RandomState(3)
+    st, dense, occ = _random_sparse(rng)
+    got = np.asarray(SP.to_dense(st))
+    np.testing.assert_allclose(got, dense, atol=0)
+
+
+def test_voxelize_mean_features():
+    pcr = [0, 0, 0, 4, 4, 4]
+    vs = [1.0, 1.0, 1.0]
+    pts = np.array([
+        [0.5, 0.5, 0.5, 10],   # voxel (0,0,0)
+        [0.6, 0.4, 0.2, 20],   # same voxel
+        [3.5, 3.5, 3.5, 30],   # voxel (3,3,3)
+        [9.0, 9.0, 9.0, 40],   # out of range
+    ], dtype=np.float32)
+    valid = np.ones(4, bool)
+    res = voxelize(jnp.asarray(pts), jnp.asarray(valid), point_cloud_range=pcr,
+                   voxel_size=vs, max_voxels=8)
+    m = np.asarray(res.mask)
+    assert m.sum() == 2
+    feats = np.asarray(res.features)[m]
+    coords = np.asarray(res.coords)[m]
+    # first voxel (key-sorted: z-major) is (0,0,0)
+    np.testing.assert_allclose(coords[0], [0, 0, 0])
+    np.testing.assert_allclose(feats[0], [(0.5 + 0.6) / 2, 0.45, 0.35, 15.0], atol=1e-5)
+    np.testing.assert_allclose(coords[1], [3, 3, 3])
+    assert np.asarray(res.num_points)[m].tolist() == [2, 1]
+
+
+def test_voxelize_point_cap_input_order():
+    pcr = [0, 0, 0, 2, 2, 2]
+    pts = np.array([[0.5, 0.5, 0.5, 1],
+                    [0.4, 0.4, 0.4, 2],
+                    [0.3, 0.3, 0.3, 100]], dtype=np.float32)
+    res = voxelize(jnp.asarray(pts), jnp.ones(3, dtype=bool),
+                   point_cloud_range=pcr, voxel_size=[1, 1, 1],
+                   max_voxels=4, max_points_per_voxel=2)
+    feats = np.asarray(res.features)[np.asarray(res.mask)]
+    # mean over FIRST TWO points in input order (reference cap semantics)
+    np.testing.assert_allclose(feats[0, 3], 1.5, atol=1e-5)
+    assert np.asarray(res.num_points)[np.asarray(res.mask)][0] == 3
+
+
+def test_voxelize_batch_key_sorted():
+    rng = np.random.RandomState(4)
+    pcr = [-10, -10, -2, 10, 10, 2]
+    vs = [0.5, 0.5, 0.5]
+    pts = rng.uniform(-9, 9, (2, 500, 3)).astype(np.float32)
+    pts[:, :, 2] = rng.uniform(-1.9, 1.9, (2, 500))
+    feats, coords, mask = voxelize_batch(jnp.asarray(pts), jnp.ones((2, 500), bool),
+                                         point_cloud_range=pcr, voxel_size=vs,
+                                         max_voxels=600)
+    g = grid_size(pcr, vs)
+    nz, ny, nx = int(g[2]), int(g[1]), int(g[0])
+    key = ((np.asarray(coords[:, 0]) * nz + np.asarray(coords[:, 1])) * ny +
+           np.asarray(coords[:, 2])) * nx + np.asarray(coords[:, 3])
+    key = np.where(np.asarray(mask), key, np.iinfo(np.int32).max)
+    assert (np.diff(key) >= 0).all()  # globally ascending incl. batch-major
+
+
+def test_voxelize_then_sparse_conv_pipeline():
+    """voxelize_batch output feeds sparse convs directly (layout invariant)."""
+    rng = np.random.RandomState(5)
+    pcr = [0, 0, 0, 8, 8, 4]
+    vs = [1.0, 1.0, 1.0]
+    pts = rng.uniform(0.1, 7.9, (2, 200, 3)).astype(np.float32)
+    pts[:, :, 2] = rng.uniform(0.1, 3.9, (2, 200))
+    feats, coords, mask = voxelize_batch(jnp.asarray(pts), jnp.ones((2, 200), bool),
+                                         point_cloud_range=pcr, voxel_size=vs,
+                                         max_voxels=256)
+    g = grid_size(pcr, vs)
+    st = SP.make_sparse_tensor(feats, coords, mask, (int(g[2]), int(g[1]), int(g[0])), 2)
+    w = jnp.asarray(rng.randn(27, 3, 8).astype(np.float32) * 0.3)
+    out = SP.subm_conv3d(st, w)
+    assert np.isfinite(np.asarray(out.features)).all()
+    w2 = jnp.asarray(rng.randn(27, 8, 16).astype(np.float32) * 0.3)
+    out2 = SP.sparse_conv3d(out, w2, kernel_size=3, stride=2, padding=1)
+    assert out2.spatial_shape == (2, 4, 4)
+    assert np.asarray(out2.mask).sum() > 0
