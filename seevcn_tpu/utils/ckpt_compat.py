@@ -56,13 +56,19 @@ def state_dict_to_numpy(state_dict, strip_module: bool = True) -> dict:
 def conv1d_to_dense(sd: dict, prefix: str) -> dict:
     w = sd[f"{prefix}.weight"]
     assert w.ndim == 3 and w.shape[-1] == 1, f"{prefix}: {w.shape}"
-    return {"kernel": w[:, :, 0].T, "bias": sd[f"{prefix}.bias"]}
+    out = {"kernel": w[:, :, 0].T}
+    if f"{prefix}.bias" in sd:  # bias=False layers have no key
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
 
 
 def linear_to_dense(sd: dict, prefix: str) -> dict:
     w = sd[f"{prefix}.weight"]
     assert w.ndim == 2, f"{prefix}: {w.shape}"
-    return {"kernel": w.T, "bias": sd[f"{prefix}.bias"]}
+    out = {"kernel": w.T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
 
 
 def conv2d_to_conv(sd: dict, prefix: str, has_bias: bool = True) -> dict:
@@ -158,3 +164,172 @@ def load_vcn_checkpoint(path: str, model_name: str) -> dict:
     ckpt = load_torch_checkpoint(path)
     sd = ckpt.get("base_model", ckpt)
     return vcn_variables_from_torch(sd, model_name)
+
+
+# ---------------------------------------------------------------------------
+# OpenPCDet detector import (SECOND / SECOND-IoU / PointPillars family)
+# ---------------------------------------------------------------------------
+
+def _scan_sequential(sd: dict, prefix: str):
+    """Classify the layers of a torch Sequential by tensor shapes.
+
+    Returns ordered list of (index, kind) with kind in
+    {'spconv', 'conv2d', 'conv1d', 'linear', 'bn'} — robust to ReLU/Dropout
+    index shifts across configs.
+    """
+    idxs = set()
+    for k in sd:
+        if k.startswith(prefix + "."):
+            rest = k[len(prefix) + 1:].split(".")
+            if rest and rest[0].isdigit():
+                idxs.add(int(rest[0]))
+    out = []
+    for i in sorted(idxs):
+        w = sd.get(f"{prefix}.{i}.weight")
+        if w is None:
+            continue
+        if f"{prefix}.{i}.running_mean" in sd:
+            out.append((i, "bn"))
+        elif w.ndim == 5:
+            out.append((i, "spconv"))
+        elif w.ndim == 4:
+            out.append((i, "conv2d"))
+        elif w.ndim == 3:
+            out.append((i, "conv1d"))
+        elif w.ndim == 2:
+            out.append((i, "linear"))
+    return out
+
+
+def _spconv_layer(sd, conv_key, bn_key):
+    """One reference spconv+BN pair -> my SpConvLayer variables."""
+    p, s = bn_split(sd, bn_key)
+    return ({"kernel": spconv3d_weight(sd, conv_key), "bn": p}, {"bn": s})
+
+
+def _seq_conv_bn_pairs(sd, prefix):
+    """Sequential of (conv, bn, relu[, dropout])* [+ final conv] ->
+    list of (conv_params, bn_params_or_None, bn_stats_or_None, kind)."""
+    layers = _scan_sequential(sd, prefix)
+    out = []
+    i = 0
+    while i < len(layers):
+        idx, kind = layers[i]
+        assert kind != "bn", (prefix, layers)
+        if kind == "conv2d":
+            conv = conv2d_to_conv(sd, f"{prefix}.{idx}")
+        elif kind == "conv1d":
+            conv = conv1d_to_dense(sd, f"{prefix}.{idx}")
+        elif kind == "linear":
+            conv = linear_to_dense(sd, f"{prefix}.{idx}")
+        else:
+            conv = {"kernel": spconv3d_weight(sd, f"{prefix}.{idx}")}
+        if i + 1 < len(layers) and layers[i + 1][1] == "bn":
+            p, s = bn_split(sd, f"{prefix}.{layers[i + 1][0]}")
+            out.append((conv, p, s, kind))
+            i += 2
+        else:
+            out.append((conv, None, None, kind))
+            i += 1
+    return out
+
+
+def voxel_backbone8x_from_torch(sd: dict, prefix: str = "backbone_3d"):
+    """Reference VoxelBackBone8x state dict -> my backbone_3d variables."""
+    params, stats = {}, {}
+
+    def put(my_name, conv_key, bn_key):
+        p, s = _spconv_layer(sd, conv_key, bn_key)
+        params[my_name] = p
+        stats[my_name] = s
+
+    put("conv_input", f"{prefix}.conv_input.0", f"{prefix}.conv_input.1")
+    put("conv1_0", f"{prefix}.conv1.0.0", f"{prefix}.conv1.0.1")
+    for stage, names in ((2, ["conv2_down", "conv2_0", "conv2_1"]),
+                         (3, ["conv3_down", "conv3_0", "conv3_1"]),
+                         (4, ["conv4_down", "conv4_0", "conv4_1"])):
+        for j, my in enumerate(names):
+            put(my, f"{prefix}.conv{stage}.{j}.0", f"{prefix}.conv{stage}.{j}.1")
+    put("conv_out", f"{prefix}.conv_out.0", f"{prefix}.conv_out.1")
+    return params, stats
+
+
+def bev_backbone_from_torch(sd: dict, prefix: str = "backbone_2d"):
+    params, stats = {}, {}
+    # blocks.i: [ZeroPad, conv, bn, relu, (conv, bn, relu)*]
+    i = 0
+    while any(k.startswith(f"{prefix}.blocks.{i}.") for k in sd):
+        pairs = _seq_conv_bn_pairs(sd, f"{prefix}.blocks.{i}")
+        names = [f"block{i}_down"] + [f"block{i}_{k}" for k in range(len(pairs) - 1)]
+        for my, (conv, bnp, bns, kind) in zip(names, pairs):
+            params[my] = {"conv": conv, "bn": bnp}
+            stats[my] = {"bn": bns}
+        i += 1
+    j = 0
+    while any(k.startswith(f"{prefix}.deblocks.{j}.") for k in sd):
+        w = sd[f"{prefix}.deblocks.{j}.0.weight"]
+        # ConvTranspose2d weight is (in, out, kh, kw); stride<1 variant is a
+        # plain Conv2d (out, in, kh, kw) — disambiguate by BN channel count
+        bn_c = sd[f"{prefix}.deblocks.{j}.1.weight"].shape[0]
+        if w.shape[1] == bn_c:
+            conv = deconv2d_to_convtranspose(sd, f"{prefix}.deblocks.{j}.0",
+                                             has_bias=False)
+            key = "deconv"
+        else:
+            conv = conv2d_to_conv(sd, f"{prefix}.deblocks.{j}.0", has_bias=False)
+            key = "conv"
+        p, s = bn_split(sd, f"{prefix}.deblocks.{j}.1")
+        params[f"deblock{j}"] = {key: conv, "bn": p}
+        stats[f"deblock{j}"] = {"bn": s}
+        j += 1
+    return params, stats
+
+
+def dense_head_from_torch(sd: dict, prefix: str = "dense_head"):
+    params = {"conv_cls": conv2d_to_conv(sd, f"{prefix}.conv_cls"),
+              "conv_box": conv2d_to_conv(sd, f"{prefix}.conv_box")}
+    if f"{prefix}.conv_dir_cls.weight" in sd:
+        params["conv_dir_cls"] = conv2d_to_conv(sd, f"{prefix}.conv_dir_cls")
+    return params
+
+
+def second_roi_head_from_torch(sd: dict, prefix: str = "roi_head"):
+    params, stats = {}, {}
+    shared = _seq_conv_bn_pairs(sd, f"{prefix}.shared_fc_layer")
+    for i, (conv, bnp, bns, kind) in enumerate(shared):
+        params[f"shared_fc{i}"] = conv
+        if bnp is not None:
+            params[f"shared_bn{i}"] = bnp
+            stats[f"shared_bn{i}"] = bns
+    iou = _seq_conv_bn_pairs(sd, f"{prefix}.iou_layers")
+    for i, (conv, bnp, bns, kind) in enumerate(iou):
+        if bnp is None:  # final biased conv1d
+            params["iou_out"] = conv
+        else:
+            params[f"iou_fc{i}"] = conv
+            params[f"iou_bn{i}"] = bnp
+            stats[f"iou_bn{i}"] = bns
+    return params, stats
+
+
+def detector_variables_from_torch(state_dict, model_name: str = "SECONDNetIoU") -> dict:
+    """OpenPCDet v0.5 detector state dict -> flax variables for
+    seevcn_tpu.models.detectors.second.* (reference checkpoint layout per
+    detector3d_template.build_networks module naming)."""
+    sd = state_dict_to_numpy(state_dict)
+    params, stats = {}, {}
+    bb_p, bb_s = voxel_backbone8x_from_torch(sd)
+    params["backbone_3d"], stats["backbone_3d"] = bb_p, bb_s
+    b2_p, b2_s = bev_backbone_from_torch(sd)
+    params["backbone_2d"], stats["backbone_2d"] = b2_p, b2_s
+    params["dense_head"] = dense_head_from_torch(sd)
+    if model_name == "SECONDNetIoU":
+        r_p, r_s = second_roi_head_from_torch(sd)
+        params["roi_head"], stats["roi_head"] = r_p, r_s
+    return {"params": params, "batch_stats": stats}
+
+
+def load_detector_checkpoint(path: str, model_name: str = "SECONDNetIoU") -> dict:
+    ckpt = load_torch_checkpoint(path)
+    sd = ckpt.get("model_state", ckpt)
+    return detector_variables_from_torch(sd, model_name)

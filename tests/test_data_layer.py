@@ -1,0 +1,154 @@
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from seevcn_tpu.utils.config import Cfg
+from seevcn_tpu.data.dataset import DatasetTemplate, PointFeatureEncoder
+from seevcn_tpu.data import augmentor as A
+
+
+def _ds_cfg(**kw):
+    d = {
+        "POINT_CLOUD_RANGE": [0, -40, -3, 70.4, 40, 1],
+        "POINT_FEATURE_ENCODING": {
+            "encoding_type": "absolute_coordinates_encoding",
+            "used_feature_list": ["x", "y", "z"],
+            "src_feature_list": ["x", "y", "z", "intensity"]},
+        "DATA_PROCESSOR": [
+            {"NAME": "shuffle_points",
+             "SHUFFLE_ENABLED": {"train": True, "test": False}}],
+    }
+    d.update(kw)
+    return Cfg(d)
+
+
+def test_feature_encoder_selects():
+    enc = PointFeatureEncoder(_ds_cfg().POINT_FEATURE_ENCODING)
+    pts = np.arange(8, dtype=np.float32).reshape(2, 4)
+    out = enc(pts)
+    assert out.shape == (2, 3)
+    np.testing.assert_allclose(out, pts[:, :3])
+
+
+def test_prepare_frame_fixed_shapes():
+    ds = DatasetTemplate(_ds_cfg(), ["Car"], training=False,
+                         max_points=1000, max_boxes=8)
+    rng = np.random.RandomState(0)
+    pts = np.concatenate([rng.uniform(1, 60, (500, 1)),
+                          rng.uniform(-30, 30, (500, 1)),
+                          rng.uniform(-2, 0.5, (500, 1)),
+                          rng.rand(500, 1)], axis=1).astype(np.float32)
+    pts[0] = [500, 0, 0, 0]  # out of range -> dropped
+    gt = np.array([[10, 0, -1, 4, 2, 1.5, 0.3]], np.float32)
+    out = ds.prepare_frame(pts, gt, np.array(["Car"]))
+    assert out["points"].shape == (1000, 3)
+    assert out["points_valid"].sum() == 499
+    assert out["gt_boxes"].shape == (8, 8)
+    assert out["gt_boxes"][0, 7] == 1  # class id
+    assert out["gt_mask"].sum() == 1
+    # test split keeps order (no shuffle)
+    np.testing.assert_allclose(out["points"][0], pts[1, :3])
+
+
+def test_prepare_frame_class_filter_and_shift():
+    cfg = _ds_cfg(SHIFT_COOR=[0.0, 0.0, 1.8])
+    ds = DatasetTemplate(cfg, ["Car"], training=False, max_points=100, max_boxes=4)
+    pts = np.array([[10, 0, -1, 0.5]], np.float32)
+    gt = np.array([[10, 0, -1, 4, 2, 1.5, 0.3],
+                   [20, 0, -1, 0.8, 0.8, 1.8, 0.0]], np.float32)
+    out = ds.prepare_frame(pts, gt, np.array(["Car", "Pedestrian"]))
+    assert out["gt_mask"].sum() == 1          # Pedestrian filtered out
+    np.testing.assert_allclose(out["points"][0, 2], -1 + 1.8, atol=1e-6)
+    np.testing.assert_allclose(out["gt_boxes"][0, 2], -1 + 1.8, atol=1e-6)
+
+
+def test_world_augmentations_consistency():
+    """Points inside a gt box must stay inside after any world aug."""
+    from seevcn_tpu.geom.boxes import points_in_boxes
+
+    rng = jax.random.PRNGKey(0)
+    p = np.random.RandomState(1)
+    box = np.array([[10, 5, 0, 4, 2, 1.6, 0.4]], np.float32)
+    local = p.uniform(-0.45, 0.45, (50, 3)).astype(np.float32) * \
+        np.array([4, 2, 1.6], np.float32)
+    from seevcn_tpu.geom.transforms import rotate_points_along_z as rot
+    pts = np.asarray(rot(jnp.asarray(local[None]), jnp.asarray([0.4])))[0] + box[0, :3]
+    pts = jnp.asarray(np.concatenate([pts, np.zeros((50, 1))], 1).astype(np.float32))
+    gb = jnp.asarray(box)
+    aug_list = (("random_world_flip", ("x", "y")),
+                ("random_world_rotation", (-0.7853, 0.7853)),
+                ("random_world_scaling", (0.95, 1.05)))
+    pts2, gb2 = A.augment_frame(rng, pts, jnp.ones(50, bool), gb,
+                                jnp.ones(1, bool), aug_list=aug_list)
+    inside = np.asarray(points_in_boxes(pts2[:, :3], gb2[:, :7]))
+    assert inside[0].mean() > 0.95
+
+
+def test_object_scaling_shrinks():
+    rng = jax.random.PRNGKey(3)
+    box = jnp.asarray([[10, 5, 0, 4, 2, 1.6, 0.0]], jnp.float32)
+    pts = jnp.asarray(np.array([[11.9, 5, 0, 0], [30, 30, 0, 0]], np.float32))
+    p2, b2 = A.random_object_scaling(rng, pts, box, jnp.ones(1, bool), (0.7, 0.95))
+    b2 = np.asarray(b2)
+    assert (b2[0, 3:6] < np.array([4, 2, 1.6])).all()
+    # in-box point moved toward center, out-of-box point untouched
+    assert float(p2[0, 0]) < 11.9
+    np.testing.assert_allclose(np.asarray(p2)[1], [30, 30, 0, 0])
+
+
+def test_kitti_dataset_with_synthetic_infos(tmp_path):
+    from seevcn_tpu.data.kitti.dataset import KittiDataset, SCKittiDataset
+    from seevcn_tpu.geom.pcd_io import write_pcd
+
+    root = tmp_path
+    os.makedirs(root / "training" / "velodyne", exist_ok=True)
+    pts = np.random.RandomState(0).rand(200, 4).astype(np.float32) * 10
+    pts.tofile(root / "training" / "velodyne" / "000001.bin")
+    os.makedirs(root / "training" / "vcn_test", exist_ok=True)
+    write_pcd(str(root / "training" / "vcn_test" / "000001.pcd"), pts[:, :3] + 1)
+
+    info = {
+        "point_cloud": {"lidar_idx": "000001"},
+        "image": {"image_shape": np.array([375, 1242])},
+        "calib": {"P2": np.eye(4)[:3] * 700, "R0_rect": np.eye(4),
+                  "Tr_velo_to_cam": np.array(
+                      [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1.0]])},
+        "annos": {"name": np.array(["Car"]),
+                  "gt_boxes_lidar": np.array([[5, 0, 0, 4, 2, 1.5, 0.1]]),
+                  "location": np.array([[0, 0, 5.0]]),
+                  "dimensions": np.array([[4, 1.5, 2.0]]),
+                  "rotation_y": np.array([0.1]), "bbox": np.array([[0, 0, 100, 100.0]]),
+                  "occluded": np.array([0]), "truncated": np.array([0.0]),
+                  "num_points_in_gt": np.array([100])},
+    }
+    with open(root / "infos_val.pkl", "wb") as f:
+        pickle.dump([info], f)
+
+    cfg = _ds_cfg(DATA_PATH=str(root),
+                  INFO_PATH={"train": [], "test": ["infos_val.pkl"]},
+                  PROCESSED_DATA_TAG="vcn_test")
+    ds = KittiDataset(cfg, ["Car"], training=False, root_path=str(root),
+                      max_points=512, max_boxes=4)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["points"].shape == (512, 3)
+    assert item["gt_mask"].sum() == 1
+
+    sc = SCKittiDataset(cfg, ["Car"], training=False, root_path=str(root),
+                        max_points=512, max_boxes=4)
+    item_sc = sc[0]
+    # completed cloud is shifted by +1 -> different points
+    assert not np.allclose(item_sc["points"][:10], item["points"][:10])
+
+    # prediction dicts + evaluation roundtrip (perfect prediction)
+    pred = [{"pred_boxes": info["annos"]["gt_boxes_lidar"],
+             "pred_scores": np.array([0.9]), "pred_labels": np.array([1])}]
+    annos = ds.generate_prediction_dicts([0], pred, ["Car"],
+                                         output_path=str(root / "out"))
+    assert len(annos) == 1 and annos[0]["name"][0] == "Car"
+    assert os.path.exists(root / "out" / "000001.txt")
+    report, res = ds.evaluation(annos, ["Car"])
+    assert "Car" in report
