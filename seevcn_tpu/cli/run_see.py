@@ -1,0 +1,77 @@
+"""SEE preprocessing CLI: complete every frame's cars and write .pcd + infos.
+
+Mirrors the reference driver (see/surface_completion/sc_multiproc.py:17-119):
+GT path (source domain) and DET path (target domain), resume by output-file
+existence, per-frame/per-car timing. The reference parallelises with a CUDA
+process pool; here a single process drives the batched device pipeline
+(frames stream through one jitted program), which is the TPU-shaped
+equivalent.
+
+Usage:
+  python -m seevcn_tpu.cli.run_see --cfg_file <SEE yaml> [--frames N]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg_file", required=True)
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--path", default="det", choices=["gt", "det"])
+    p.add_argument("--save_dir", default=None)
+    return p.parse_args(argv)
+
+
+def build_data_obj(cfg):
+    name = cfg.DATA.get("DATASET", "demo").lower()
+    if name == "demo":
+        from ..data.demo_dataset import DemoObjects
+
+        masks = {c: p for c, p in cfg.DATA.get("MASKS", {}).items()}
+        return DemoObjects(cfg.DATA.ROOT, camera_channels=cfg.DATA.get(
+            "CAMERA_CHANNELS", ["front"]), masks=masks)
+    raise NotImplementedError(name)
+
+
+def main(argv=None):
+    from ..geom.pcd_io import write_pcd
+    from ..see.pipeline import SEEVCN
+    from ..utils.config import cfg_from_yaml_file
+
+    args = parse_args(argv)
+    cfg = cfg_from_yaml_file(args.cfg_file)
+    data_obj = build_data_obj(cfg)
+    see = SEEVCN(cfg, data_obj=data_obj)
+
+    n = args.frames or len(data_obj)
+    save_dir = args.save_dir or os.path.join(
+        data_obj.root, f"vcn_{cfg.TAG}")
+    os.makedirs(save_dir, exist_ok=True)
+
+    t_frames = []
+    for idx in range(n):
+        out_path = os.path.join(save_dir, f"{data_obj.frames[idx]}.pcd")
+        if os.path.exists(out_path):  # resume-by-file (sc_multiproc.py:20-25)
+            continue
+        t0 = time.time()
+        if args.path == "det":
+            completed = see.process_det_frame(idx)
+        else:
+            info = data_obj.get_infos(idx)
+            completed = see.process_gt_frame(data_obj.get_pointcloud(idx),
+                                             info["gt_boxes"])
+        write_pcd(out_path, completed)
+        t_frames.append(time.time() - t0)
+        print(f"frame {idx}: {t_frames[-1]:.3f}s -> {out_path}")
+    if t_frames:
+        print(f"avg time/frame: {np.mean(t_frames):.3f}s over {len(t_frames)} frames")
+
+
+if __name__ == "__main__":
+    main()

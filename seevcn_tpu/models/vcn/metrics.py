@@ -1,0 +1,104 @@
+"""VCN evaluation metric battery.
+
+Reference: see/.../models/vcn/utils/metrics.py:20-531 — chamfer L1/L2
+(overall + per-input-point-count difficulty levels L1-L4 :110-114), F-score,
+3D IoU of the keypoint-derived box against GT, rotation / translation errors,
+out-of-box point fraction. All batched on device.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...geom import transforms as T
+from ...ops.chamfer import chamfer_sq
+from ...ops.iou3d import boxes_iou3d
+from .nets import get_bbox_from_keypoints
+
+# per-input-point-count difficulty buckets (metrics.py:110-114)
+LEVELS = {"L1": (0, 50), "L2": (50, 150), "L3": (150, 500), "L4": (500, 1 << 30)}
+
+
+def chamfer_metrics(pred: jax.Array, gt: jax.Array):
+    """-> per-sample CDL1 (B,), CDL2 (B,)."""
+    d1, d2 = chamfer_sq(pred, gt)
+    cdl2 = d1.mean(axis=1) + d2.mean(axis=1)
+    cdl1 = (jnp.sqrt(d1 + 1e-12).mean(axis=1) + jnp.sqrt(d2 + 1e-12).mean(axis=1)) / 2
+    return cdl1, cdl2
+
+
+def f_score(pred: jax.Array, gt: jax.Array, threshold: float = 0.01):
+    """Per-sample F-score at distance threshold (metrics.py F1)."""
+    d1, d2 = chamfer_sq(pred, gt)
+    precision = (jnp.sqrt(d1) < threshold).mean(axis=1)
+    recall = (jnp.sqrt(d2) < threshold).mean(axis=1)
+    return 2 * precision * recall / jnp.maximum(precision + recall, 1e-9)
+
+
+def box_iou3d_metric(pred_pts: jax.Array, gt_boxes: jax.Array):
+    """IoU between the box fitted to predicted points (GT heading) and the GT
+    box (metrics.py:411 _get_box_iou3d)."""
+    pred_box = get_bbox_from_keypoints(pred_pts, gt_boxes)
+    iou = jax.vmap(lambda a, b: boxes_iou3d(a[None], b[None])[0, 0])(
+        pred_box, gt_boxes[:, :7])
+    return iou, pred_box
+
+
+def pose_errors(reg_rot: jax.Array, reg_centre: jax.Array, gt_boxes: jax.Array):
+    """-> rotation error (rad), translation error (m) per sample."""
+    gt_rot = T.rot_z(gt_boxes[:, -1])
+    rot_err = T.geodesic_distance(reg_rot, gt_rot)
+    trans_err = jnp.linalg.norm(reg_centre - gt_boxes[:, :3], axis=1)
+    return rot_err, trans_err
+
+
+def out_of_box_fraction(pred_pts: jax.Array, gt_boxes: jax.Array,
+                        margin: float = 0.1):
+    """Fraction of predicted points outside the (slightly enlarged) GT box
+    (losses.py get_oob_error / bbox_utils.get_oob_points)."""
+    from ...geom.boxes import points_in_boxes
+
+    big = gt_boxes[:, :7].at[:, 3:6].add(margin) if hasattr(gt_boxes, "at") else \
+        jnp.asarray(gt_boxes[:, :7]) + jnp.asarray([0, 0, 0, margin, margin, margin, 0])
+    inside = jax.vmap(lambda p, b: points_in_boxes(p, b[None])[0])(pred_pts, big)
+    return 1.0 - inside.mean(axis=1)
+
+
+class MetricAccumulator:
+    """Accumulates per-sample metrics with per-level breakdown
+    (metrics.py Metrics.get/items)."""
+
+    def __init__(self):
+        self.rows = []
+
+    def update(self, pred_pts, gt_complete, gt_boxes, num_input_pts,
+               reg_rot=None, reg_centre=None):
+        cdl1, cdl2 = chamfer_metrics(pred_pts, gt_complete)
+        f1 = f_score(pred_pts, gt_complete)
+        iou, _ = box_iou3d_metric(pred_pts, gt_boxes)
+        oob = out_of_box_fraction(pred_pts, gt_boxes)
+        row = {"CDL1": np.asarray(cdl1), "CDL2": np.asarray(cdl2),
+               "F1": np.asarray(f1), "IOU_3D": np.asarray(iou),
+               "OOB": np.asarray(oob),
+               "npts": np.asarray(num_input_pts)}
+        if reg_rot is not None:
+            rot_err, trans_err = pose_errors(reg_rot, reg_centre, gt_boxes)
+            row["ROT_ERR"] = np.asarray(rot_err)
+            row["TRANS_ERR"] = np.asarray(trans_err)
+        self.rows.append(row)
+
+    def summary(self) -> dict:
+        if not self.rows:
+            return {}
+        cat = {k: np.concatenate([r[k] for r in self.rows])
+               for k in self.rows[0]}
+        npts = cat.pop("npts")
+        out = {}
+        for k, v in cat.items():
+            out[k] = float(v.mean())
+            for lvl, (lo, hi) in LEVELS.items():
+                m = (npts >= lo) & (npts < hi)
+                if m.any():
+                    out[f"{k}_{lvl}"] = float(v[m].mean())
+        return out

@@ -333,3 +333,184 @@ def load_detector_checkpoint(path: str, model_name: str = "SECONDNetIoU") -> dic
     ckpt = load_torch_checkpoint(path)
     sd = ckpt.get("model_state", ckpt)
     return detector_variables_from_torch(sd, model_name)
+
+
+# ---------------------------------------------------------------------------
+# export: flax variables -> reference-layout state dicts (.pth writers use
+# these so reference tooling can consume checkpoints we train)
+# ---------------------------------------------------------------------------
+
+def _dense_to_conv1d(leaf: dict) -> dict:
+    out = {"weight": np.asarray(leaf["kernel"]).T[:, :, None]}
+    if "bias" in leaf:
+        out["bias"] = np.asarray(leaf["bias"])
+    return out
+
+
+def _dense_to_linear(leaf: dict) -> dict:
+    out = {"weight": np.asarray(leaf["kernel"]).T}
+    if "bias" in leaf:
+        out["bias"] = np.asarray(leaf["bias"])
+    return out
+
+
+def _bn_join(params: dict, stats: dict) -> dict:
+    return {"weight": np.asarray(params["scale"]),
+            "bias": np.asarray(params["bias"]),
+            "running_mean": np.asarray(stats["mean"]),
+            "running_var": np.asarray(stats["var"]),
+            "num_batches_tracked": np.asarray(0)}
+
+
+def vcn_state_dict_from_variables(variables: dict, model_name: str) -> dict:
+    """Inverse of vcn_variables_from_torch (reference VCN key naming)."""
+    p = variables["params"]
+    s = variables.get("batch_stats", {})
+    sd = {}
+
+    def put(prefix, leaf):
+        for k, v in leaf.items():
+            sd[f"{prefix}.{k}"] = v
+
+    for mlp, conv_idx, bn_idx in (("mlp_conv1", (0, 3), (1,)),
+                                  ("mlp_conv2", (0, 3), (1,))):
+        for i, ci in enumerate(conv_idx):
+            put(f"encoder.{mlp}.{ci}",
+                _dense_to_conv1d(p["encoder"][mlp][f"dense{i}"]))
+        for i, bi in enumerate(bn_idx):
+            put(f"encoder.{mlp}.{bi}",
+                _bn_join(p["encoder"][mlp][f"bn{i}"],
+                         s["encoder"][mlp][f"bn{i}"]))
+    for i, li in enumerate((0, 2, 4)):
+        put(f"shape_fc.{li}", _dense_to_linear(p["shape_fc"][f"fc{i}"]))
+
+    if model_name.upper().endswith("VC") or "pose_encoder" in p:
+        if "pose_encoder" in p:
+            for i, ci in enumerate((0, 2, 4)):
+                put(f"pose_encoder.{ci}",
+                    _dense_to_conv1d(p["pose_encoder"][f"dense{i}"]))
+            for i, li in enumerate((0, 2)):
+                put(f"pose_fc.{li}", _dense_to_linear(p["pose_fc"][f"fc{i}"]))
+    return sd
+
+
+def _conv_to_conv2d(leaf: dict) -> dict:
+    out = {"weight": np.transpose(np.array(leaf["kernel"]), (3, 2, 0, 1))}
+    if "bias" in leaf:
+        out["bias"] = np.array(leaf["bias"])
+    return out
+
+
+def _convtranspose_to_deconv2d(leaf: dict) -> dict:
+    return {"weight": np.transpose(np.array(leaf["kernel"]), (2, 3, 0, 1))}
+
+
+def _spconv_export(kernel, kz, ky, kx) -> np.ndarray:
+    """(K, in, out) -> spconv 2.x (out, kz, ky, kx, in)."""
+    w = np.array(kernel).reshape(kz, ky, kx, kernel.shape[1], kernel.shape[2])
+    return np.transpose(w, (4, 0, 1, 2, 3))
+
+
+def detector_state_dict_from_variables(variables: dict,
+                                       model_name: str = "SECONDNetIoU") -> dict:
+    """Inverse of detector_variables_from_torch: write reference-layout
+    (spconv 2.x) OpenPCDet state dicts from our flax tree."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    sd = {}
+
+    def put(prefix, leaf):
+        for k, v in leaf.items():
+            sd[f"{prefix}.{k}"] = np.array(v)
+
+    # backbone_3d
+    bb = p["backbone_3d"]
+    bbs = s["backbone_3d"]
+    layout = [("conv_input", "conv_input.0", "conv_input.1", (3, 3, 3)),
+              ("conv1_0", "conv1.0.0", "conv1.0.1", (3, 3, 3))]
+    for stage, names in ((2, ["conv2_down", "conv2_0", "conv2_1"]),
+                         (3, ["conv3_down", "conv3_0", "conv3_1"]),
+                         (4, ["conv4_down", "conv4_0", "conv4_1"])):
+        for j, my in enumerate(names):
+            layout.append((my, f"conv{stage}.{j}.0", f"conv{stage}.{j}.1", (3, 3, 3)))
+    layout.append(("conv_out", "conv_out.0", "conv_out.1", (3, 1, 1)))
+    for my, conv_key, bn_key, k in layout:
+        sd[f"backbone_3d.{conv_key}.weight"] = _spconv_export(
+            np.asarray(bb[my]["kernel"]), *k)
+        put(f"backbone_3d.{bn_key}", _bn_join(bb[my]["bn"], bbs[my]["bn"]))
+
+    # backbone_2d
+    b2 = p["backbone_2d"]
+    b2s = s["backbone_2d"]
+    blocks = sorted({k.split("_")[0] for k in b2 if k.startswith("block")})
+    for bi, blk in enumerate(blocks):
+        layers = [k for k in b2 if k.startswith(f"{blk}_")]
+        down = f"{blk}_down"
+        sd[f"backbone_2d.blocks.{bi}.1.weight"] = _conv_to_conv2d(
+            b2[down]["conv"])["weight"]
+        put(f"backbone_2d.blocks.{bi}.2", _bn_join(b2[down]["bn"], b2s[down]["bn"]))
+        ks = sorted(int(k.split("_")[1]) for k in layers if k.split("_")[1].isdigit())
+        for j in ks:
+            my = f"{blk}_{j}"
+            sd[f"backbone_2d.blocks.{bi}.{4 + 3 * j}.weight"] = _conv_to_conv2d(
+                b2[my]["conv"])["weight"]
+            put(f"backbone_2d.blocks.{bi}.{5 + 3 * j}",
+                _bn_join(b2[my]["bn"], b2s[my]["bn"]))
+    di = 0
+    while f"deblock{di}" in b2:
+        leaf = b2[f"deblock{di}"]
+        if "deconv" in leaf:
+            sd[f"backbone_2d.deblocks.{di}.0.weight"] = \
+                _convtranspose_to_deconv2d(leaf["deconv"])["weight"]
+        else:
+            sd[f"backbone_2d.deblocks.{di}.0.weight"] = \
+                _conv_to_conv2d(leaf["conv"])["weight"]
+        put(f"backbone_2d.deblocks.{di}.1",
+            _bn_join(leaf["bn"], s["backbone_2d"][f"deblock{di}"]["bn"]))
+        di += 1
+
+    # dense head
+    for name in ("conv_cls", "conv_box", "conv_dir_cls"):
+        if name in p["dense_head"]:
+            put(f"dense_head.{name}", _conv_to_conv2d(p["dense_head"][name]))
+
+    # roi head (SECONDHead)
+    if "roi_head" in p:
+        r = p["roi_head"]
+        rs = s.get("roi_head", {})
+        idx_map = {0: 0, 1: 4}  # shared_fc conv positions (dropout at 3)
+        for i in (0, 1):
+            if f"shared_fc{i}" in r:
+                put(f"roi_head.shared_fc_layer.{idx_map[i]}",
+                    _dense_to_conv1d(r[f"shared_fc{i}"]))
+                put(f"roi_head.shared_fc_layer.{idx_map[i] + 1}",
+                    _bn_join(r[f"shared_bn{i}"], rs[f"shared_bn{i}"]))
+        iou_map = {0: 0, 1: 4}
+        for i in (0, 1):
+            if f"iou_fc{i}" in r:
+                put(f"roi_head.iou_layers.{iou_map[i]}",
+                    _dense_to_conv1d(r[f"iou_fc{i}"]))
+                put(f"roi_head.iou_layers.{iou_map[i] + 1}",
+                    _bn_join(r[f"iou_bn{i}"], rs[f"iou_bn{i}"]))
+        if "iou_out" in r:
+            put("roi_head.iou_layers.7", _dense_to_conv1d(r["iou_out"]))
+    return sd
+
+
+def save_detector_checkpoint(path: str, variables: dict, epoch: int = 0,
+                             it: int = 0, model_name: str = "SECONDNetIoU"):
+    """Write an OpenPCDet-format detector .pth (train_utils.py:145-178)."""
+    import torch
+
+    sd = detector_state_dict_from_variables(
+        {"params": _to_np_tree(variables["params"]),
+         "batch_stats": _to_np_tree(variables["batch_stats"])}, model_name)
+    torch.save({"model_state": {k: torch.from_numpy(np.array(v))
+                                for k, v in sd.items()},
+                "epoch": epoch, "it": it, "version": "seevcn_tpu+0.1"}, path)
+
+
+def _to_np_tree(tree):
+    import jax
+
+    return jax.tree.map(lambda a: np.asarray(a), tree)
