@@ -318,8 +318,16 @@ DETECTORS = {
 }
 
 
+def _register_pvrcnn():
+    from .pvrcnn import PVRCNN
+
+    DETECTORS["PVRCNN"] = PVRCNN
+
+
 def build_detector(cfg, data_cfg=None, class_names=None, max_voxels=None):
     """cfg: full pcdet YAML Cfg (MODEL/DATA_CONFIG/CLASS_NAMES)."""
+    if "PVRCNN" not in DETECTORS:
+        _register_pvrcnn()
     model_cfg = cfg.MODEL
     data_cfg = data_cfg or cfg.DATA_CONFIG
     class_names = class_names or cfg.CLASS_NAMES

@@ -19,3 +19,5 @@ import jax  # noqa: E402
 # overrides JAX_PLATFORMS; win the fight via the config API.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+os.environ.setdefault("SEEVCN_NO_JAX_CACHE", "1")  # avoid cross-config CPU AOT reloads

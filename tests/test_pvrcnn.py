@@ -1,0 +1,168 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from seevcn_tpu.ops.pointnet2 import ball_query, group_features, masked_max_pool
+from seevcn_tpu.utils.config import Cfg
+from seevcn_tpu.models.detectors.second import build_detector
+from test_detector import _mini_cfg, _fake_batch
+
+
+def test_ball_query_first_n_within_radius():
+    support = jnp.asarray(np.array(
+        [[0, 0, 0], [0.1, 0, 0], [0.2, 0, 0], [5, 0, 0], [0.05, 0, 0]], np.float32))
+    q = jnp.asarray(np.array([[0.0, 0, 0]], np.float32))
+    idx, valid = ball_query(q, support, radius=0.3, nsample=3)
+    # first 3 in-index-order within radius: 0, 1, 2 (4 is in radius but later)
+    assert idx[0].tolist() == [0, 1, 2]
+    assert valid[0].all()
+    # no support in radius -> all invalid
+    q2 = jnp.asarray(np.array([[100.0, 0, 0]], np.float32))
+    idx2, valid2 = ball_query(q2, support, radius=0.3, nsample=3)
+    assert not valid2.any()
+
+
+def test_ball_query_respects_support_mask():
+    support = jnp.asarray(np.array([[0, 0, 0], [0.1, 0, 0]], np.float32))
+    q = jnp.asarray(np.array([[0.0, 0, 0]], np.float32))
+    mask = jnp.asarray([False, True])
+    idx, valid = ball_query(q, support, 0.3, 2, support_valid=mask)
+    assert valid[0].tolist() == [True, False]
+    assert idx[0, 0] == 1
+
+
+def test_group_and_pool():
+    support = jnp.asarray(np.array([[1, 0, 0], [2, 0, 0]], np.float32))
+    feats = jnp.asarray(np.array([[10.0], [20.0]], np.float32))
+    q = jnp.asarray(np.array([[1.0, 0, 0]], np.float32))
+    idx, valid = ball_query(q, support, 1.5, 2)
+    g = group_features(idx, valid, q, support, feats)
+    assert g.shape == (1, 2, 4)
+    np.testing.assert_allclose(np.asarray(g)[0, 0], [0, 0, 0, 10])
+    pooled = masked_max_pool(g, valid)
+    np.testing.assert_allclose(np.asarray(pooled)[0], [1, 0, 0, 20])
+
+
+def _pvrcnn_cfg():
+    cfg = _mini_cfg()
+    cfg.MODEL.NAME = "PVRCNN"
+    cfg.MODEL.PFE = Cfg({
+        "NAME": "VoxelSetAbstraction", "POINT_SOURCE": "raw_points",
+        "NUM_KEYPOINTS": 256, "NUM_OUTPUT_FEATURES": 32,
+        "SAMPLE_METHOD": "FPS",
+        "FEATURES_SOURCE": ["bev", "x_conv3", "x_conv4", "raw_points"],
+        "SA_LAYER": {
+            "raw_points": {"MLPS": [[8, 8], [8, 8]], "POOL_RADIUS": [0.4, 0.8],
+                           "NSAMPLE": [8, 8]},
+            "x_conv3": {"DOWNSAMPLE_FACTOR": 4, "MLPS": [[16, 16], [16, 16]],
+                        "POOL_RADIUS": [1.2, 2.4], "NSAMPLE": [8, 8]},
+            "x_conv4": {"DOWNSAMPLE_FACTOR": 8, "MLPS": [[16, 16], [16, 16]],
+                        "POOL_RADIUS": [2.4, 4.8], "NSAMPLE": [8, 8]},
+        }})
+    cfg.MODEL.POINT_HEAD = Cfg({
+        "NAME": "PointHeadSimple", "CLS_FC": [32, 32], "CLASS_AGNOSTIC": True,
+        "USE_POINT_FEATURES_BEFORE_FUSION": True,
+        "TARGET_CONFIG": {"GT_EXTRA_WIDTH": [0.2, 0.2, 0.2]},
+        "LOSS_CONFIG": {"LOSS_REG": "smooth-l1",
+                        "LOSS_WEIGHTS": {"point_cls_weight": 1.0}}})
+    cfg.MODEL.ROI_HEAD = Cfg({
+        "NAME": "PVRCNNHead", "CLASS_AGNOSTIC": True,
+        "SHARED_FC": [32, 32], "CLS_FC": [32, 32], "REG_FC": [32, 32],
+        "DP_RATIO": 0.3,
+        "NMS_CONFIG": {
+            "TRAIN": {"NMS_TYPE": "nms_gpu", "MULTI_CLASSES_NMS": False,
+                      "NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 16,
+                      "NMS_THRESH": 0.8},
+            "TEST": {"NMS_TYPE": "nms_gpu", "MULTI_CLASSES_NMS": False,
+                     "NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 16,
+                     "NMS_THRESH": 0.85}},
+        "ROI_GRID_POOL": {"GRID_SIZE": 4, "MLPS": [[16, 16], [16, 16]],
+                          "POOL_RADIUS": [0.8, 1.6], "NSAMPLE": [8, 8],
+                          "POOL_METHOD": "max_pool"},
+        "TARGET_CONFIG": {"BOX_CODER": "ResidualCoder", "ROI_PER_IMAGE": 16,
+                          "FG_RATIO": 0.5, "SAMPLE_ROI_BY_EACH_CLASS": True,
+                          "CLS_SCORE_TYPE": "roi_iou", "CLS_FG_THRESH": 0.75,
+                          "CLS_BG_THRESH": 0.25, "CLS_BG_THRESH_LO": 0.1,
+                          "HARD_BG_RATIO": 0.8, "REG_FG_THRESH": 0.55},
+        "LOSS_CONFIG": {"CLS_LOSS": "BinaryCrossEntropy", "REG_LOSS": "smooth-l1",
+                        "CORNER_LOSS_REGULARIZATION": True,
+                        "LOSS_WEIGHTS": {"rcnn_cls_weight": 1.0,
+                                         "rcnn_reg_weight": 1.0,
+                                         "rcnn_corner_weight": 1.0,
+                                         "code_weights": [1.0] * 7}}})
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def pvrcnn():
+    cfg = _pvrcnn_cfg()
+    model, dcfg = build_detector(cfg)
+    rng = np.random.RandomState(0)
+    pts, valid, gt = _fake_batch(rng, b=2, p=400)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, valid,
+                           train=False)
+    return cfg, model, dcfg, variables, (pts, valid, gt)
+
+
+def test_pvrcnn_eval_forward(pvrcnn):
+    cfg, model, dcfg, variables, (pts, valid, gt) = pvrcnn
+    out = model.apply(variables, pts, valid, train=False)
+    assert out["keypoints"].shape == (2, 256, 3)
+    assert out["rcnn_cls"].shape == (2, 16)
+    assert out["rcnn_reg"].shape == (2, 16, 7)
+    assert out["rois"].shape[:2] == (2, 16)
+    assert np.isfinite(np.asarray(out["rois"])).all()
+
+    from seevcn_tpu.models.detectors.second import post_processing
+    post = post_processing(out, cfg.MODEL.POST_PROCESSING, 1, has_roi_head=True)
+    assert post["pred_boxes"].shape[2] == 7
+    assert np.isfinite(np.asarray(post["pred_boxes"])).all()
+
+
+def test_pvrcnn_train_loss_and_grads(pvrcnn):
+    cfg, model, dcfg, variables, (pts, valid, gt) = pvrcnn
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pts, valid, gt_boxes=gt, train=True, rng=jax.random.PRNGKey(1),
+            rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"])
+        return model.loss(out, gt)
+
+    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss))
+    for k in ("rpn_loss", "point_loss_cls", "rcnn_loss_cls", "rcnn_loss_reg",
+              "rcnn_loss_corner"):
+        assert np.isfinite(float(tb[k])), k
+    g = jax.tree_util.tree_reduce(lambda a, x: a + float(jnp.abs(x).sum()),
+                                  grads, 0.0)
+    assert np.isfinite(g) and g > 0
+
+
+def test_canonical_roundtrip():
+    """decode_rcnn_boxes(encode(gt)) must reproduce gt boxes."""
+    from seevcn_tpu.models.modules.box_coder import ResidualCoder
+    from seevcn_tpu.models.modules.pvrcnn_head import (canonical_gt_of_rois,
+                                                       decode_rcnn_boxes)
+
+    rng = np.random.RandomState(0)
+    rois = np.concatenate([rng.uniform(-10, 10, (1, 8, 3)),
+                           rng.uniform(2, 5, (1, 8, 3)),
+                           rng.uniform(-np.pi, np.pi, (1, 8, 1))], -1)
+    gt = rois + rng.uniform(-0.2, 0.2, rois.shape)
+    rois = jnp.asarray(rois, jnp.float32)
+    gt = jnp.asarray(gt, jnp.float32)
+    coder = ResidualCoder()
+    canon = canonical_gt_of_rois(rois, gt)
+    anchor = jnp.concatenate([jnp.zeros_like(rois[..., :3]), rois[..., 3:6],
+                              jnp.zeros_like(rois[..., 6:7])], -1)
+    enc = coder.encode(canon, anchor)
+    dec = decode_rcnn_boxes(rois, enc)
+    np.testing.assert_allclose(np.asarray(dec[..., :6]), np.asarray(gt[..., :6]),
+                               atol=1e-3)
+    # headings equal mod pi (canonical frame folds opposite directions)
+    d = np.abs(np.asarray(dec[..., 6]) - np.asarray(gt[..., 6])) % np.pi
+    d = np.minimum(d, np.pi - d)
+    np.testing.assert_allclose(d, 0, atol=1e-3)
