@@ -38,7 +38,8 @@ def _greedy_suppress(overlap: jax.Array, valid: jax.Array, thresh: float) -> jax
         row = suppress[i] & (idx > i)
         return jnp.where(keep[i], keep & ~row, keep)
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    # unroll amortizes per-iteration control-flow cost over straight-line code
+    return jax.lax.fori_loop(0, k, body, valid, unroll=32)
 
 
 @partial(jax.jit, static_argnames=("pre_maxsize", "post_maxsize", "use_bev_aligned", "row_chunk"))

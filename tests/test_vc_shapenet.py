@@ -1,0 +1,73 @@
+"""VC-ShapeNet generator: raycast + sample a synthetic cube 'car'."""
+import os
+import numpy as np
+
+from seevcn_tpu.models.vcn import vc_shapenet as VS
+
+
+def _make_cube_obj(path, size=(4.0, 1.8, 1.5)):
+    sx, sy, sz = size[0] / 2, size[1] / 2, size[2] / 2
+    # shapenet frame: y up, -z forward; our loader maps -z->x, -x->y, y->z
+    v = []
+    for x in (-sx, sx):
+        for y in (-sy, sy):
+            for z in (-sz, sz):
+                v.append((y, z, -x))  # inverse of the loader's axis swap
+    faces = [(1, 2, 4), (1, 4, 3), (5, 7, 8), (5, 8, 6),  # two x faces
+             (1, 5, 6), (1, 6, 2), (3, 4, 8), (3, 8, 7),
+             (1, 3, 7), (1, 7, 5), (2, 6, 8), (2, 8, 4)]
+    with open(path, "w") as f:
+        for p in v:
+            f.write("v %f %f %f\n" % p)
+        for a, b, c in faces:
+            f.write("f %d %d %d\n" % (a, b, c))
+
+
+def test_load_and_normalize(tmp_path):
+    p = tmp_path / "cube.obj"
+    _make_cube_obj(str(p))
+    verts, faces = VS.load_obj(str(p))
+    assert faces.shape == (12, 3)
+    norm = VS.normalize_car_mesh(verts, target_length=4.2)
+    np.testing.assert_allclose(norm[:, 0].max() - norm[:, 0].min(), 4.2, atol=1e-6)
+
+
+def test_raycast_hits_visible_faces(tmp_path):
+    p = tmp_path / "cube.obj"
+    _make_cube_obj(str(p))
+    verts, faces = VS.load_obj(str(p))
+    verts = VS.normalize_car_mesh(verts)
+    placed = VS.transform_mesh(verts, np.array([10, 0, 0, 4.2, 0, 0, 0.0]))
+    pts = VS.raycast_mesh(placed, faces, az_res_deg=0.5, el_res_deg=0.5)
+    assert len(pts) > 50
+    # only the near face (x ~ 10 - 2.1) is visible from the origin
+    assert pts[:, 0].max() < 10.0
+    np.testing.assert_allclose(pts[:, 0].min(), 10 - 2.1, atol=0.05)
+
+
+def test_sample_surface_uniform(tmp_path):
+    p = tmp_path / "cube.obj"
+    _make_cube_obj(str(p))
+    verts, faces = VS.load_obj(str(p))
+    pts = VS.sample_surface(verts, faces, 2000)
+    assert pts.shape == (2000, 3)
+    # all points on the cube surface (one coord at a bound)
+    b = np.abs(verts).max(0)
+    on_surf = np.isclose(np.abs(pts), b[None, :] * np.ones_like(pts), atol=1e-4)
+    assert on_surf.any(axis=1).mean() > 0.99
+
+
+def test_generate_dataset_consumable(tmp_path):
+    from seevcn_tpu.models.vcn.dataset import VCDataset
+
+    p = tmp_path / "cube.obj"
+    _make_cube_obj(str(p))
+    poses = [np.array([12, 2, 0, 4.2, 0, 0, 0.4]),
+             np.array([8, -3, 0, 4.0, 0, 0, -0.8])]
+    out = tmp_path / "vc"
+    VS.generate_vc_dataset([str(p)], poses, str(out), logger=lambda s: None)
+    ds = VCDataset(str(out), n_points=128, n_complete=256)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["input"].shape == (128, 3)
+    assert item["gt_boxes"][3] > 3.5  # plausible car length
