@@ -45,7 +45,7 @@ def load_variables(path, model_name):
 def evaluate_ckpt(cfg, ckpt_path, args):
     import jax
 
-    from ..data.kitti.dataset import DATASETS
+    from ..data.registry import DATASETS
     from ..models.detectors.second import build_detector
     from ..train.eval import eval_one_epoch
 

@@ -38,7 +38,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ..data.kitti.dataset import DATASETS
+    from ..data.registry import DATASETS
     from ..models.detectors.second import build_detector
     from ..parallel.mesh import make_mesh, replicated, shard_batch
     from ..train.train import create_train_state, shard_train_step

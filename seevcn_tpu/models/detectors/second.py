@@ -53,9 +53,12 @@ class DetectorConfig:
         feat_cfg = data_cfg.get("POINT_FEATURE_ENCODING", None)
         self.num_point_features = len(feat_cfg.used_feature_list) if feat_cfg else 4
 
-        self.head_logic = AnchorHeadLogic(
-            model_cfg.DENSE_HEAD, self.num_class, self.class_names,
-            self.grid_size, self.point_cloud_range)
+        if model_cfg.DENSE_HEAD.get("NAME", "AnchorHeadSingle") == "CenterHead":
+            self.head_logic = None  # center heads carry no anchor machinery
+        else:
+            self.head_logic = AnchorHeadLogic(
+                model_cfg.DENSE_HEAD, self.num_class, self.class_names,
+                self.grid_size, self.point_cloud_range)
 
 
 class SECONDNetIoU(nn.Module):
@@ -267,9 +270,22 @@ class PointPillar(nn.Module):
 # post-processing (detector3d_template.py:178-284 / second_net_iou.py:75-177)
 # --------------------------------------------------------------------------- #
 
-def post_processing(out: dict, post_cfg, num_class: int, has_roi_head: bool):
+def cal_scores_by_npoints(cls_scores, iou_scores, num_points_in_box,
+                          cls_thresh: float = 10, iou_thresh: float = 100):
+    """Blend cls/iou scores by per-box point count (second_net_iou.py:38-57):
+    sparse boxes trust the cls score, dense boxes the IoU score."""
+    alpha = jnp.clip((num_points_in_box - cls_thresh) / (iou_thresh - cls_thresh),
+                     0.0, 1.0)
+    return (1 - alpha) * cls_scores + alpha * iou_scores
+
+
+def post_processing(out: dict, post_cfg, num_class: int, has_roi_head: bool,
+                    points=None, points_valid=None):
     """Config-driven final NMS. Returns per-frame fixed-size dicts:
-    pred_boxes (B, N, 7), pred_scores (B, N), pred_labels (B, N), mask."""
+    pred_boxes (B, N, 7), pred_scores (B, N), pred_labels (B, N), mask.
+
+    ``points``/``points_valid`` are only needed for the num_pts_iou_cls
+    scoring mode (second_net_iou.py:132-144)."""
     nms_cfg = post_cfg.NMS_CONFIG
     score_thresh = float(post_cfg.get("SCORE_THRESH", 0.1))
 
@@ -287,6 +303,15 @@ def post_processing(out: dict, post_cfg, num_class: int, has_roi_head: bool):
         elif score_type == "weighted_iou_cls":
             w = nms_cfg.SCORE_WEIGHTS
             scores = float(w["iou"]) * iou_preds + float(w["cls"]) * cls_preds
+        elif score_type == "num_pts_iou_cls":
+            assert points is not None, "num_pts_iou_cls needs the frame points"
+            from ...geom.boxes import points_in_boxes_count
+
+            npts = jax.vmap(lambda p, v, b: points_in_boxes_count(
+                p[:, :3], b[:, :7], v))(points, points_valid, boxes)
+            st = nms_cfg.SCORE_THRESH
+            scores = cal_scores_by_npoints(cls_preds, iou_preds, npts,
+                                           float(st["cls"]), float(st["iou"]))
         else:
             raise NotImplementedError(score_type)
     else:
@@ -319,9 +344,13 @@ DETECTORS = {
 
 
 def _register_pvrcnn():
+    from .centerpoint import CenterPoint
+    from .pointrcnn import PointRCNN
     from .pvrcnn import PVRCNN
 
     DETECTORS["PVRCNN"] = PVRCNN
+    DETECTORS["CenterPoint"] = CenterPoint
+    DETECTORS["PointRCNN"] = PointRCNN
 
 
 def build_detector(cfg, data_cfg=None, class_names=None, max_voxels=None):

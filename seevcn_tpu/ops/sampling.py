@@ -144,16 +144,30 @@ def three_nn_interpolate(query: jax.Array, support: jax.Array, features: jax.Arr
     return jnp.einsum("nk,nkc->nc", w, features[idx])
 
 
-@partial(jax.jit, static_argnames=("chunk",))
 def within_radius_mask(a: jax.Array, b: jax.Array, radius: float,
                        b_valid: jax.Array | None = None,
                        chunk: int = 8192) -> jax.Array:
     """(N,) bool: does each point of ``a`` have a ``b`` point within radius?
 
-    Chunked over ``a`` to bound the (chunk, M) distance buffer. Replaces the
-    reference's o3d compute_point_cloud_distance in
-    replace_with_completed_pts (SEE_VCN.py:247-265).
+    Replaces the reference's o3d compute_point_cloud_distance in
+    replace_with_completed_pts (SEE_VCN.py:247-265). On TPU, large problems
+    route to the fused Pallas min-distance kernel (no (N, M) HBM traffic);
+    elsewhere a chunked XLA fallback bounds the buffer.
     """
+    n, m = a.shape[0], b.shape[0]
+    if (jax.default_backend() not in ("cpu",)) and n * m >= 1 << 22:
+        from .pallas.min_dist import min_sqdist
+
+        d = min_sqdist(jnp.asarray(a, jnp.float32)[:, :3],
+                       jnp.asarray(b, jnp.float32)[:, :3], b_valid=b_valid)
+        return d <= radius * radius
+    return _within_radius_mask_xla(a, b, radius, b_valid, chunk=chunk)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _within_radius_mask_xla(a: jax.Array, b: jax.Array, radius: float,
+                            b_valid: jax.Array | None = None,
+                            chunk: int = 8192) -> jax.Array:
     n = a.shape[0]
     r2 = radius * radius
     pad = (-n) % chunk

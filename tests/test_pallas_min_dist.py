@@ -1,0 +1,32 @@
+"""Pallas min-distance kernel (interpret mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+
+from seevcn_tpu.ops.pallas.min_dist import min_sqdist, min_sqdist_reference
+
+
+def test_matches_reference():
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(700, 3).astype(np.float32) * 5)
+    b = jnp.asarray(rng.randn(1300, 3).astype(np.float32) * 5)
+    got = np.asarray(min_sqdist(a, b, interpret=True))
+    ref = np.asarray(min_sqdist_reference(a, b))
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+
+def test_b_valid_mask():
+    a = jnp.asarray([[0.0, 0, 0]])
+    b = jnp.asarray([[0.1, 0, 0], [5.0, 0, 0]])
+    valid = jnp.asarray([False, True])
+    got = float(min_sqdist(a, b, b_valid=valid, interpret=True)[0])
+    np.testing.assert_allclose(got, 25.0, atol=1e-3)
+
+
+def test_padding_rows_do_not_leak():
+    # N and M far from tile multiples; nearest distances must be exact
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.randn(3, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(5, 3).astype(np.float32))
+    got = np.asarray(min_sqdist(a, b, interpret=True))
+    ref = np.asarray(min_sqdist_reference(a, b))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
