@@ -348,9 +348,16 @@ def _register_pvrcnn():
     from .pointrcnn import PointRCNN
     from .pvrcnn import PVRCNN
 
+    from .voxelrcnn import VoxelRCNN
+
+    from .parta2 import PartA2
+
     DETECTORS["PVRCNN"] = PVRCNN
     DETECTORS["CenterPoint"] = CenterPoint
     DETECTORS["PointRCNN"] = PointRCNN
+    DETECTORS["VoxelRCNN"] = VoxelRCNN
+    DETECTORS["PartA2Net"] = PartA2
+    DETECTORS["PartA2"] = PartA2
 
 
 def build_detector(cfg, data_cfg=None, class_names=None, max_voxels=None):

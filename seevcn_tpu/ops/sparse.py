@@ -199,3 +199,46 @@ def to_dense(st: SparseTensor) -> jax.Array:
     b, z, y, x = (jnp.where(st.mask, st.coords[:, i], 0) for i in range(4))
     feats = jnp.where(st.mask[:, None], st.features, 0.0)
     return dense.at[b, z, y, x].add(feats)  # sorted-unique keys: add == set
+
+
+def sparse_inverse_conv3d(st: SparseTensor, weight: jax.Array,
+                          target: SparseTensor, kernel_size=3,
+                          stride=1, padding=0) -> SparseTensor:
+    """Inverse (transposed) sparse conv: produce features AT the coords of
+    ``target`` (the pre-downsample tensor) from the downsampled ``st`` —
+    spconv's SparseInverseConv3d with a shared indice_key
+    (spconv_backbone.py post_act_block conv_type='inverseconv').
+
+    out(p) = sum_k W[k] * in((p + pad - k) / stride)   [when divisible]
+    """
+    ks = _as3(kernel_size)
+    k = ks[0] * ks[1] * ks[2]
+    cin = st.features.shape[-1]
+    assert weight.shape[0] == k, (weight.shape, ks)
+    sz, sy, sx = _as3(stride)
+    pz, py, px = _as3(padding)
+
+    offs = _offsets(ks)                                   # (K, 3)
+    strides = jnp.asarray([sz, sy, sx], jnp.int32)
+    pads = jnp.asarray([pz, py, px], jnp.int32)
+    zyx = target.coords[:, 1:4]
+    num = zyx[:, None, :] + pads - offs[None]             # (V, K, 3)
+    divisible = jnp.all(num % strides == 0, axis=-1)
+    q_zyx = num // strides
+    nz, ny, nx = st.spatial_shape
+    dims = jnp.asarray([nz, ny, nx], jnp.int32)
+    inb = jnp.all((q_zyx >= 0) & (q_zyx < dims), axis=-1) & divisible
+
+    b = target.coords[:, 0:1]
+    q = ((b * nz + q_zyx[..., 0]) * ny + q_zyx[..., 1]) * nx + q_zyx[..., 2]
+    big = jnp.int32(np.iinfo(np.int32).max)
+    q = jnp.where(inb & target.mask[:, None], q.astype(jnp.int32), big)
+
+    in_keys = linear_key(st.coords, st.spatial_shape, st.mask)
+    idx, found = _lookup(in_keys, q.reshape(-1))
+    gathered = jnp.where(found[:, None], st.features[idx], 0.0)
+    gathered = gathered.reshape(-1, k * cin)
+    feats = jnp.matmul(gathered, weight.reshape(k * cin, -1),
+                       preferred_element_type=jnp.float32)
+    feats = jnp.where(target.mask[:, None], feats, 0.0)
+    return target._replace(features=feats)

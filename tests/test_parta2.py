@@ -1,0 +1,68 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from seevcn_tpu.utils.config import Cfg
+from seevcn_tpu.models.detectors.second import build_detector
+from test_detector import _mini_cfg, _fake_batch
+
+
+def _pa2_cfg():
+    cfg = _mini_cfg()
+    cfg.MODEL.NAME = "PartA2Net"
+    cfg.MODEL.BACKBONE_3D = Cfg({"NAME": "UNetV2"})
+    cfg.MODEL.POINT_HEAD = Cfg({"NAME": "PointIntraPartOffsetHead"})
+    cfg.MODEL.ROI_HEAD = Cfg({
+        "NAME": "PartA2FCHead", "CLASS_AGNOSTIC": True,
+        "SHARED_FC": [64, 64], "CLS_FC": [32], "REG_FC": [32], "DP_RATIO": 0.0,
+        "ROI_GRID_POOL": {"GRID_SIZE": 4},
+        "POOL_RADIUS": 0.4, "POOL_MLP": [16, 16],
+        "NMS_CONFIG": {
+            "TRAIN": {"NMS_TYPE": "nms_gpu", "MULTI_CLASSES_NMS": False,
+                      "NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 16,
+                      "NMS_THRESH": 0.8},
+            "TEST": {"NMS_TYPE": "nms_gpu", "MULTI_CLASSES_NMS": False,
+                     "NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 16,
+                     "NMS_THRESH": 0.7}},
+        "TARGET_CONFIG": {"BOX_CODER": "ResidualCoder", "ROI_PER_IMAGE": 16,
+                          "FG_RATIO": 0.5, "SAMPLE_ROI_BY_EACH_CLASS": True,
+                          "CLS_SCORE_TYPE": "roi_iou", "CLS_FG_THRESH": 0.75,
+                          "CLS_BG_THRESH": 0.25, "CLS_BG_THRESH_LO": 0.1,
+                          "HARD_BG_RATIO": 0.8, "REG_FG_THRESH": 0.55},
+        "LOSS_CONFIG": {"CLS_LOSS": "BinaryCrossEntropy", "REG_LOSS": "smooth-l1",
+                        "CORNER_LOSS_REGULARIZATION": True,
+                        "LOSS_WEIGHTS": {"rcnn_cls_weight": 1.0,
+                                         "rcnn_reg_weight": 1.0,
+                                         "rcnn_corner_weight": 1.0,
+                                         "code_weights": [1.0] * 7}}})
+    return cfg
+
+
+def test_parta2_forward_and_loss():
+    cfg = _pa2_cfg()
+    model, dcfg = build_detector(cfg, max_voxels=512)
+    rng = np.random.RandomState(0)
+    pts, valid, gt = _fake_batch(rng, b=2, p=400)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, valid,
+                           train=False)
+    out = model.apply(variables, pts, valid, train=False)
+    assert out["rois"].shape == (2, 16, 7)
+    assert out["seg_logits"].shape == (1024,)  # B * max_voxels rows
+    assert np.isfinite(np.asarray(out["rois"])).all()
+
+    def loss_fn(params):
+        o, _ = model.apply({"params": params,
+                            "batch_stats": variables["batch_stats"]},
+                           pts, valid, gt_boxes=gt, train=True,
+                           rng=jax.random.PRNGKey(1),
+                           mutable=["batch_stats"])
+        return model.loss(o, gt)
+
+    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss))
+    for k in ("seg_loss", "part_loss", "rcnn_loss_cls"):
+        assert np.isfinite(float(tb[k])), k
+    g = jax.tree_util.tree_reduce(lambda a, x: a + float(jnp.abs(x).sum()),
+                                  grads, 0.0)
+    assert g > 0
