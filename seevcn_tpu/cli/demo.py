@@ -35,38 +35,6 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def plot_bev(points, boxes=None, scores=None, completed=None, path="demo.png"):
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(figsize=(10, 10))
-    ax.scatter(points[:, 0], points[:, 1], s=0.3, c="#808080", linewidths=0)
-    if completed is not None and len(completed):
-        ax.scatter(completed[:, 0], completed[:, 1], s=0.6, c="#cc3311",
-                   linewidths=0, label="completed")
-    if boxes is not None:
-        from seevcn_tpu.geom.boxes import corners_bev
-        import jax.numpy as jnp
-
-        cb = np.asarray(corners_bev(jnp.asarray(boxes[:, :7],
-                                                dtype=jnp.float32)))
-        for i, c in enumerate(cb):
-            poly = np.vstack([c, c[:1]])
-            ax.plot(poly[:, 0], poly[:, 1], "-", c="#0077bb", lw=1.5)
-            if scores is not None:
-                ax.text(c[0, 0], c[0, 1], f"{scores[i]:.2f}", fontsize=7,
-                        color="#0077bb")
-    ax.set_aspect("equal")
-    ax.set_xlabel("x [m]")
-    ax.set_ylabel("y [m]")
-    if completed is not None and len(completed):
-        ax.legend(loc="upper right")
-    fig.savefig(path, dpi=150, bbox_inches="tight")
-    print(f"wrote {path}")
-
-
 def main(argv=None):
     import jax
 
@@ -128,8 +96,12 @@ def main(argv=None):
         scores = np.asarray(post["pred_scores"][0])[m]
         print(f"detected {len(boxes)} objects")
 
-    plot_bev(frame_points, boxes, scores, completed_pts,
-             path=os.path.join(args.out, f"frame_{args.frame:06d}.png"))
+    from ..utils.viz import save_bev
+
+    path = save_bev(os.path.join(args.out, f"frame_{args.frame:06d}.png"),
+                    frame_points, boxes=boxes, scores=scores,
+                    completed=completed_pts)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -36,6 +36,10 @@ def build_data_obj(cfg):
         masks = {c: p for c, p in cfg.DATA.get("MASKS", {}).items()}
         return DemoObjects(cfg.DATA.ROOT, camera_channels=cfg.DATA.get(
             "CAMERA_CHANNELS", ["front"]), masks=masks)
+    if name == "kitti":
+        from ..data.kitti.see_adapter import KittiObjects
+
+        return KittiObjects(cfg.DATA)
     raise NotImplementedError(name)
 
 
@@ -50,27 +54,31 @@ def main(argv=None):
     see = SEEVCN(cfg, data_obj=data_obj)
 
     n = args.frames or len(data_obj)
-    save_dir = args.save_dir or os.path.join(
-        data_obj.root, f"vcn_{cfg.TAG}")
-    os.makedirs(save_dir, exist_ok=True)
 
     t_frames = []
     for idx in range(n):
-        out_path = os.path.join(save_dir, f"{data_obj.frames[idx]}.pcd")
+        if args.save_dir:
+            out_path = os.path.join(args.save_dir,
+                                    f"{data_obj.frames[idx]}.pcd")
+        else:
+            # adapter-defined location (e.g. training/vcn_<tag>/<frame>)
+            out_path = data_obj.get_save_fname(idx) + ".pcd"
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
         if os.path.exists(out_path):  # resume-by-file (sc_multiproc.py:20-25)
             continue
         t0 = time.time()
         if args.path == "det":
             completed = see.process_det_frame(idx)
         else:
-            info = data_obj.get_infos(idx)
             completed = see.process_gt_frame(data_obj.get_pointcloud(idx),
-                                             info["gt_boxes"])
+                                             data_obj.get_gt_boxes(idx))
         write_pcd(out_path, completed)
         t_frames.append(time.time() - t0)
         print(f"frame {idx}: {t_frames[-1]:.3f}s -> {out_path}")
     if t_frames:
         print(f"avg time/frame: {np.mean(t_frames):.3f}s over {len(t_frames)} frames")
+    if hasattr(data_obj, "update_infos"):
+        print("infos:", data_obj.update_infos())
 
 
 if __name__ == "__main__":
