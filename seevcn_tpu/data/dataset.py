@@ -116,6 +116,16 @@ class DatasetTemplate:
             keep = np.isin(gt_names, self.class_names)
             boxes = np.asarray(gt_boxes, np.float32)[keep]
             names = gt_names[keep]
+            if self.training and self.min_points_of_gt and len(boxes):
+                # drop gts with too few points (dataset.py:129-137)
+                from ..geom.boxes import points_in_boxes_count
+                import jax.numpy as jnp
+
+                cnt = np.asarray(points_in_boxes_count(
+                    jnp.asarray(points[:, :3], jnp.float32),
+                    jnp.asarray(boxes[:, :7], jnp.float32)))
+                boxes = boxes[cnt >= self.min_points_of_gt]
+                names = names[cnt >= self.min_points_of_gt]
             cls_ids = np.array([self.class_names.index(nm) + 1 for nm in names],
                                np.float32).reshape(-1, 1)
             gb = np.zeros((self.max_boxes, 8), np.float32)

@@ -19,8 +19,7 @@ from ...geom.boxes import enlarge_box3d, points_in_boxes
 from ...geom.transforms import rotate_points_along_z
 from ..losses import sigmoid_focal_loss, weighted_smooth_l1
 from ..modules.pointnet2_backbone import PointNet2MSG, PointResidualCoder
-from ..modules.pvrcnn_head import (canonical_gt_of_rois, decode_rcnn_boxes,
-                                   pvrcnn_rcnn_loss)
+from ..modules.pvrcnn_head import decode_rcnn_boxes, pvrcnn_rcnn_loss
 from ..modules.roi_heads import proposal_layer, sample_rois_for_rcnn
 
 

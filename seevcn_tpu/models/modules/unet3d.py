@@ -8,8 +8,6 @@ set (shared indice keys == our target-tensor coords).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -22,7 +22,7 @@ Key invariant: rows are sorted ascending by linearized key
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ the sharded jit (params replicated, batch sharded over 'dp').
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import flax
