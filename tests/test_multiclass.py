@@ -1,0 +1,78 @@
+"""Multi-class anchors/assignment (KITTI 3-class layout)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from seevcn_tpu.utils.config import Cfg
+from seevcn_tpu.models.modules.dense_heads import AnchorHeadLogic
+
+
+def _head_cfg():
+    return Cfg({
+        "USE_DIRECTION_CLASSIFIER": True, "DIR_OFFSET": 0.78539,
+        "DIR_LIMIT_OFFSET": 0.0, "NUM_DIR_BINS": 2,
+        "ANCHOR_GENERATOR_CONFIG": [
+            {"class_name": "Car", "anchor_sizes": [[3.9, 1.6, 1.56]],
+             "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-1.78],
+             "align_center": False, "feature_map_stride": 8,
+             "matched_threshold": 0.6, "unmatched_threshold": 0.45},
+            {"class_name": "Pedestrian", "anchor_sizes": [[0.8, 0.6, 1.73]],
+             "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-0.6],
+             "align_center": False, "feature_map_stride": 8,
+             "matched_threshold": 0.5, "unmatched_threshold": 0.35},
+            {"class_name": "Cyclist", "anchor_sizes": [[1.76, 0.6, 1.73]],
+             "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-0.6],
+             "align_center": False, "feature_map_stride": 8,
+             "matched_threshold": 0.5, "unmatched_threshold": 0.35}],
+        "TARGET_ASSIGNER_CONFIG": {
+            "NAME": "AxisAlignedTargetAssigner", "POS_FRACTION": -1.0,
+            "SAMPLE_SIZE": 512, "NORM_BY_NUM_EXAMPLES": False,
+            "MATCH_HEIGHT": False, "BOX_CODER": "ResidualCoder"},
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {
+            "cls_weight": 1.0, "loc_weight": 2.0, "dir_weight": 0.2,
+            "code_weights": [1.0] * 7}},
+    })
+
+
+def test_multiclass_anchor_layout_and_assignment():
+    classes = ["Car", "Pedestrian", "Cyclist"]
+    grid = [128, 128, 40]          # feature map 16x16
+    pcr = [0, -32, -3, 64, 32, 1]
+    logic = AnchorHeadLogic(_head_cfg(), 3, classes, grid, pcr)
+    assert logic.num_anchors_per_location == 6
+    a = logic.anchors_flat
+    assert a.shape == (16 * 16 * 6, 7)
+    # per-location interleave: first 2 are Car anchors, then Ped, then Cyc
+    np.testing.assert_allclose(a[0, 3:6], [3.9, 1.6, 1.56])
+    np.testing.assert_allclose(a[2, 3:6], [0.8, 0.6, 1.73])
+    np.testing.assert_allclose(a[4, 3:6], [1.76, 0.6, 1.73])
+
+    # place gts exactly on anchor grid nodes (stride 64/15): small classes
+    # only match when near a node — faithful to the reference assigner
+    xs = 64 / 15
+    gt = jnp.asarray(np.array([[
+        [3 * xs, -32 + 9 * xs, -1.0, 3.9, 1.6, 1.56, 0.0, 1],    # Car
+        [6 * xs, -32 + 5 * xs, 0.265, 0.8, 0.6, 1.73, 0.0, 2],   # Pedestrian
+        [9 * xs, -32 + 12 * xs, 0.265, 1.76, 0.6, 1.73, 1.57, 3],  # Cyclist
+    ]], np.float32))
+    targets = logic.assign_targets(gt)
+    labels = np.asarray(targets["box_cls_labels"])[0]
+    assert labels.shape == (16 * 16 * 6,)
+    # each class must have at least one positive with its own class id
+    for cid in (1, 2, 3):
+        assert (labels == cid).sum() >= 1, cid
+    # positives sit in the right per-location slots (car -> slots 0/1 etc.)
+    pos_idx = np.where(labels > 0)[0]
+    for i in pos_idx:
+        slot = i % 6
+        cid = labels[i]
+        assert slot // 2 == cid - 1, (i, slot, cid)
+
+    # loss end-to-end with 3-class preds
+    n_loc = 16 * 16
+    rng = np.random.RandomState(0)
+    preds = {"cls_preds": jnp.asarray(rng.randn(1, 16, 16, 6 * 3).astype(np.float32)),
+             "box_preds": jnp.asarray(rng.randn(1, 16, 16, 6 * 7).astype(np.float32)),
+             "dir_cls_preds": jnp.asarray(rng.randn(1, 16, 16, 6 * 2).astype(np.float32))}
+    loss, tb = logic.loss(preds, targets)
+    assert np.isfinite(float(loss))
