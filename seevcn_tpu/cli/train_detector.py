@@ -93,13 +93,12 @@ def main(argv=None):
     state = jax.device_put(state, replicated(mesh))
     rng = jax.random.PRNGKey(42)
 
-    order = np.arange(len(dataset))
+    from ..data.loader import BackgroundLoader
+
+    loader = BackgroundLoader(dataset, batch_size, num_workers=4,
+                              seed=start_epoch)
     for ep in range(start_epoch, epochs):
-        np.random.shuffle(order)
-        for s in range(0, len(order) - batch_size + 1, batch_size):
-            frames = [dataset[i] for i in order[s:s + batch_size]]
-            batch = {k: np.stack([f[k] for f in frames]) for k in
-                     ("points", "points_valid", "gt_boxes", "gt_mask")}
+        for batch in loader:
             if dataset.aug_list:
                 batch = jax.tree.map(jnp.asarray, batch)
                 batch = dataset.augment_on_device(

@@ -139,3 +139,115 @@ class PVRCNN(nn.Module):
                                           cfg.model_cfg.ROI_HEAD.LOSS_CONFIG)
         tb.update(rtb)
         return rpn_loss + pt_loss + rcnn_loss, tb
+
+
+class PVRCNNPlusPlus(nn.Module):
+    """PV-RCNN++ (pv_rcnn_plusplus.py): identical module set, but proposals
+    are generated FIRST and keypoints are sampled proposal-centric — only
+    points near a roi are FPS candidates. The reference's sectorized-FPS
+    becomes masked FPS over the roi-neighborhood point set (same support,
+    different tie-breaking order).
+    """
+    cfg: Any  # DetectorConfig
+
+    @nn.compact
+    def __call__(self, points, points_valid, gt_boxes=None, train: bool = False,
+                 rng=None):
+        from ...geom.boxes import points_in_boxes
+
+        cfg = self.cfg
+        mcfg = cfg.model_cfg
+
+        feats, coords, mask = voxelize_batch(
+            points, points_valid, point_cloud_range=cfg.point_cloud_range,
+            voxel_size=cfg.voxel_size, max_voxels=cfg.max_voxels,
+            max_points_per_voxel=cfg.max_points_per_voxel)
+        nzyx = (int(cfg.grid_size[2]) + 1, int(cfg.grid_size[1]),
+                int(cfg.grid_size[0]))
+        st = SP.make_sparse_tensor(feats, coords, mask, nzyx, points.shape[0])
+        backbone = {"VoxelBackBone8x": VoxelBackBone8x,
+                    "VoxelResBackBone8x": VoxelResBackBone8x}[
+                        mcfg.BACKBONE_3D.NAME]
+        bb_out = backbone(input_channels=cfg.num_point_features,
+                          name="backbone_3d")(st, train)
+        bev = height_compression(bb_out["encoded_spconv_tensor"])
+        b2 = mcfg.BACKBONE_2D
+        bev2d = BaseBEVBackbone(
+            layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
+            num_filters=tuple(b2.NUM_FILTERS),
+            upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", ())),
+            num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
+            name="backbone_2d")(bev, train)
+        logic = cfg.head_logic
+        head_out = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=logic.num_anchors_per_location,
+            code_size=logic.box_coder.code_size,
+            num_dir_bins=logic.num_dir_bins, name="dense_head")(bev2d)
+        batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
+        out = {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
+               "batch_box_preds": batch_box_preds}
+
+        # --- proposals FIRST --------------------------------------------------
+        rcfg = mcfg.ROI_HEAD
+        nms_cfg = rcfg.NMS_CONFIG["TRAIN" if train else "TEST"]
+        props = proposal_layer(batch_cls_preds, batch_box_preds, nms_cfg)
+        if train:
+            assert gt_boxes is not None and rng is not None
+            rngs = jax.random.split(rng, points.shape[0])
+            targets = jax.vmap(
+                lambda r, ro, rl, rs, rm, gt: sample_rois_for_rcnn(
+                    r, ro, rl, rs, rm, gt, rcfg.TARGET_CONFIG)
+            )(rngs, props["rois"], props["roi_labels"], props["roi_scores"],
+              props["roi_mask"], gt_boxes)
+            rois = targets["rois"]
+            out["rcnn_targets"] = targets
+        else:
+            rois = props["rois"]
+            out.update({"rois": rois, "roi_scores": props["roi_scores"],
+                        "roi_labels": props["roi_labels"],
+                        "roi_mask": props["roi_mask"]})
+
+        # --- proposal-centric keypoint restriction ---------------------------
+        radius = float(mcfg.PFE.get("ROI_NEIGHBOR_RADIUS", 2.4))
+
+        def roi_neighbourhood(pts, v, frois):
+            big = frois.at[:, 3:6].add(2 * radius)
+            near = points_in_boxes(pts[:, :3], big[:, :7]).any(axis=0)
+            return v & near
+
+        kp_valid = jax.vmap(roi_neighbourhood)(points, points_valid,
+                                               rois[..., :7])
+        # fall back to all points when no roi survives
+        kp_valid = jnp.where(kp_valid.any(axis=1, keepdims=True), kp_valid,
+                             points_valid)
+
+        vsa = VoxelSetAbstraction(
+            pfe_cfg=mcfg.PFE, point_cloud_range=tuple(cfg.point_cloud_range),
+            voxel_size=tuple(cfg.voxel_size), name="pfe")
+        vsa_out = vsa(points, kp_valid, bev2d, bev_stride=8,
+                      multi_scale_3d=bb_out["multi_scale_3d_features"],
+                      train=train)
+
+        ph = mcfg.POINT_HEAD
+        src = vsa_out["point_features_before_fusion"] \
+            if ph.get("USE_POINT_FEATURES_BEFORE_FUSION") \
+            else vsa_out["point_features"]
+        point_logits = PointHeadSimple(cls_fc=tuple(ph.CLS_FC),
+                                       name="point_head")(src, train)
+        keypoint_scores = jax.nn.sigmoid(point_logits)
+        out["point_logits"] = point_logits
+        out["keypoints"] = vsa_out["keypoints"]
+
+        kp = jax.lax.stop_gradient(vsa_out["keypoints"]) if train \
+            else vsa_out["keypoints"]
+        rcnn_cls, rcnn_reg = PVRCNNHead(roi_cfg=rcfg, name="roi_head")(
+            rois[..., :7], kp, vsa_out["point_features"], keypoint_scores, train)
+        out["rcnn_cls"] = rcnn_cls
+        out["rcnn_reg"] = rcnn_reg
+        if not train:
+            out["rois"] = decode_rcnn_boxes(rois[..., :7], rcnn_reg)
+            out["rcnn_iou"] = rcnn_cls
+        return out
+
+    loss = PVRCNN.loss

@@ -351,8 +351,10 @@ def _register_pvrcnn():
     from .voxelrcnn import VoxelRCNN
 
     from .parta2 import PartA2
+    from .pvrcnn import PVRCNNPlusPlus
 
     DETECTORS["PVRCNN"] = PVRCNN
+    DETECTORS["PVRCNNPlusPlus"] = PVRCNNPlusPlus
     DETECTORS["CenterPoint"] = CenterPoint
     DETECTORS["PointRCNN"] = PointRCNN
     DETECTORS["VoxelRCNN"] = VoxelRCNN

@@ -166,3 +166,32 @@ def test_canonical_roundtrip():
     d = np.abs(np.asarray(dec[..., 6]) - np.asarray(gt[..., 6])) % np.pi
     d = np.minimum(d, np.pi - d)
     np.testing.assert_allclose(d, 0, atol=1e-3)
+
+
+def test_pvrcnn_plusplus_forward_and_loss():
+    from seevcn_tpu.utils.config import Cfg
+
+    cfg = _pvrcnn_cfg()
+    cfg.MODEL.NAME = "PVRCNNPlusPlus"
+    cfg.MODEL.PFE["ROI_NEIGHBOR_RADIUS"] = 2.4
+    model, dcfg = build_detector(cfg)
+    rng = np.random.RandomState(1)
+    pts, valid, gt = _fake_batch(rng, b=2, p=400)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, valid,
+                           train=False)
+    out = model.apply(variables, pts, valid, train=False)
+    assert out["rois"].shape == (2, 16, 7)
+    assert np.isfinite(np.asarray(out["rois"])).all()
+
+    def loss_fn(params):
+        o, _ = model.apply({"params": params,
+                            "batch_stats": variables["batch_stats"]},
+                           pts, valid, gt_boxes=gt, train=True,
+                           rng=jax.random.PRNGKey(1),
+                           rngs={"dropout": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+        return model.loss(o, gt)
+
+    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss))
