@@ -53,8 +53,9 @@ def main():
     pts[:, :, 1] = rng.uniform(-39, 39, (B, P))
     pts[:, :, 2] = rng.uniform(-2.9, 0.9, (B, P))
     jp, jv = jnp.asarray(pts), jnp.ones((B, P), bool)
-    variables = model.init({"params": jax.random.PRNGKey(0)},
-                           jp[:, :2048], jv[:, :2048], train=False)
+    variables = jax.jit(lambda p, v: model.init(
+        {"params": jax.random.PRNGKey(0)}, p, v, train=False))(
+        jp[:, :2048], jv[:, :2048])
 
     @jax.jit
     def det_stage(variables, p, m):

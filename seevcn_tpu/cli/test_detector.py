@@ -52,6 +52,14 @@ def evaluate_ckpt(cfg, ckpt_path, args):
     # DA: evaluate on DATA_CONFIG_TAR when present (test.py:184-190)
     data_cfg = cfg.get("DATA_CONFIG_TAR", cfg.DATA_CONFIG)
     class_names = data_cfg.get("CLASS_NAMES", cfg.CLASS_NAMES)
+    # the voxelizer block must match the trained model; inherit it from the
+    # source DATA_CONFIG when the target config omits it
+    has_vox = any(p.NAME == "transform_points_to_voxels"
+                  for p in data_cfg.get("DATA_PROCESSOR", []))
+    if not has_vox:
+        src_vox = [p for p in cfg.DATA_CONFIG.DATA_PROCESSOR
+                   if p.NAME == "transform_points_to_voxels"]
+        data_cfg["DATA_PROCESSOR"] = list(data_cfg.get("DATA_PROCESSOR", []))             + src_vox
     dataset = DATASETS[data_cfg.DATASET](data_cfg, class_names, training=False,
                                          max_points=args.max_points)
     assert len(dataset) > 0, "eval dataset empty — check INFO_PATH"

@@ -71,10 +71,10 @@ def main(argv=None):
     total_steps = steps_per_epoch * epochs
 
     example = dataset[0]
-    variables = model.init({"params": jax.random.PRNGKey(0)},
-                           jnp.asarray(example["points"][None]),
-                           jnp.asarray(example["points_valid"][None]),
-                           train=False)
+    variables = jax.jit(lambda p, v: model.init(
+        {"params": jax.random.PRNGKey(0)}, p, v, train=False))(
+        jnp.asarray(example["points"][None]),
+        jnp.asarray(example["points_valid"][None]))
     state = create_train_state(model, variables, cfg.OPTIMIZATION, total_steps)
 
     # auto-resume (train.py:130-140)

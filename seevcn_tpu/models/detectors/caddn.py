@@ -1,0 +1,167 @@
+"""CaDDN: camera-only 3D detection (Categorical Depth Distribution Network).
+
+Reference: detectors/caddn.py + backbones_3d/vfe/image_vfe.py and its
+image_vfe_modules (ffn/ddn_deeplabv3, f2v frustum_to_voxel) — image features
+x predicted categorical depth distribution -> frustum feature volume ->
+sampled onto the lidar voxel grid via the calibration -> Conv2DCollapse ->
+BEV backbone -> anchor head.
+
+Deviation (documented): the reference's DeepLabV3/ResNet101 image backbone
+(torchvision pretrained) is replaced by a compact conv pyramid — CaDDN here
+is an architectural capability (the frustum->voxel machinery, LID depth
+discretization, depth loss), not a pretrained-camera-model port.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses import weighted_cross_entropy
+from ..modules.backbone2d import BaseBEVBackbone
+from ..modules.common import ConvBlock2d
+from ..modules.dense_heads import AnchorHeadSingle
+
+
+def lid_bin_edges(depth_min: float, depth_max: float, num_bins: int):
+    """LID (linear-increasing discretization) bin edges (ddn_loss/
+    balancer's discretization; CaDDN paper eq. 2)."""
+    i = np.arange(num_bins + 1, dtype=np.float64)
+    delta = 2 * (depth_max - depth_min) / (num_bins * (1 + num_bins))
+    return depth_min + delta * i * (i + 1) / 2
+
+
+def depth_to_lid_bin(depth, depth_min, depth_max, num_bins):
+    """Continuous depth -> LID bin index (inverse of lid_bin_edges)."""
+    delta = 2 * (depth_max - depth_min) / (num_bins * (1 + num_bins))
+    x = jnp.maximum(2 * (depth - depth_min) / delta + 0.25, 0.0)
+    idx = jnp.floor(-0.5 + jnp.sqrt(x)).astype(jnp.int32)
+    return jnp.clip(idx, 0, num_bins)  # == num_bins means out of range
+
+
+class ImageBackbone(nn.Module):
+    """Compact conv pyramid standing in for DeepLabV3 (stride 4 features)."""
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, img, train: bool = False):
+        x = ConvBlock2d(self.channels // 2, stride=2, name="c1")(img, train)
+        x = ConvBlock2d(self.channels, stride=2, name="c2")(x, train)
+        x = ConvBlock2d(self.channels, name="c3")(x, train)
+        return x
+
+
+class CaDDN(nn.Module):
+    cfg: Any  # DetectorConfig (head_logic present)
+
+    @nn.compact
+    def __call__(self, images, calib_P2, gt_boxes=None, train: bool = False,
+                 rng=None, depth_maps=None):
+        """images (B, H, W, 3) float, calib_P2 (B, 3, 4): rect projection.
+
+        Input contract differs from the lidar detectors — CaDDN is
+        camera-only (the reference's input_dict carries images + calib too).
+        """
+        cfg = self.cfg
+        mcfg = cfg.model_cfg
+        vfe_cfg = mcfg.VFE
+        disc = vfe_cfg.FFN.DISCRETIZE
+        num_bins = int(disc["num_bins"])
+        d_min, d_max = float(disc["depth_min"]), float(disc["depth_max"])
+
+        feat = ImageBackbone(name="image_backbone")(images, train)   # (B,h,w,C)
+        b, h, w, c = feat.shape
+        stride = images.shape[1] // h
+
+        depth_logits = nn.Conv(num_bins + 1, (1, 1), name="depth_head")(feat)
+        ddist = jax.nn.softmax(depth_logits[..., :num_bins], axis=-1)
+
+        # frustum features: outer product (B, h, w, D, C)
+        frustum = ddist[..., :, None] * feat[..., None, :]
+
+        # --- frustum -> voxel grid -------------------------------------------
+        pcr = jnp.asarray(cfg.point_cloud_range)
+        vs = jnp.asarray(cfg.voxel_size)
+        nx, ny, nz = (int(g) for g in cfg.grid_size)
+        # voxel centers in lidar frame == rect frame here? The reference
+        # transforms via full calib (lidar->rect->image); we take the voxel
+        # grid in RECT coordinates for the camera-only model, i.e. the
+        # point_cloud_range is interpreted in the camera's forward frame
+        # (x fwd, y left, z up) mapped to rect via the fixed kitti axes.
+        xs = (jnp.arange(nx) + 0.5) * vs[0] + pcr[0]
+        ys = (jnp.arange(ny) + 0.5) * vs[1] + pcr[1]
+        zs = (jnp.arange(nz) + 0.5) * vs[2] + pcr[2]
+        X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")     # (nx, ny, nz)
+        # lidar->rect fixed mapping (x_r = -y_l, y_r = -z_l, z_r = x_l)
+        rect = jnp.stack([-Y, -Z, X], axis=-1).reshape(-1, 3)  # (V, 3)
+
+        bins_edges = jnp.asarray(lid_bin_edges(d_min, d_max, num_bins),
+                                 jnp.float32)
+
+        def sample_one(fr, P2):
+            hom = jnp.concatenate([rect, jnp.ones((rect.shape[0], 1))], axis=1)
+            uvw = hom @ P2.T
+            depth = uvw[:, 2]
+            u = uvw[:, 0] / jnp.maximum(depth, 1e-3) / stride
+            v = uvw[:, 1] / jnp.maximum(depth, 1e-3) / stride
+            dbin = depth_to_lid_bin(depth, d_min, d_max, num_bins)
+            ok = (depth > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h) & \
+                (dbin < num_bins)
+            ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
+            vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+            db = jnp.clip(dbin, 0, num_bins - 1)
+            vox = fr[vi, ui, db]                               # (V, C)
+            return jnp.where(ok[:, None], vox, 0.0)
+
+        vox = jax.vmap(sample_one)(frustum, calib_P2)          # (B, V, C)
+        vox = vox.reshape(b, nx, ny, nz, c)
+        # Conv2DCollapse: stack z into channels, 1x1 conv to NUM_BEV_FEATURES
+        bev = vox.transpose(0, 2, 1, 4, 3).reshape(b, ny, nx, c * nz)
+        bev = ConvBlock2d(int(mcfg.MAP_TO_BEV.NUM_BEV_FEATURES), kernel=1,
+                          padding=0, name="collapse")(bev, train)
+
+        b2 = mcfg.BACKBONE_2D
+        bev2d = BaseBEVBackbone(
+            layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
+            num_filters=tuple(b2.NUM_FILTERS),
+            upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", ())),
+            num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
+            name="backbone_2d")(bev, train)
+        logic = cfg.head_logic
+        head_out = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=logic.num_anchors_per_location,
+            code_size=logic.box_coder.code_size,
+            num_dir_bins=logic.num_dir_bins, name="dense_head")(bev2d)
+        batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
+        return {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
+                "batch_box_preds": batch_box_preds,
+                "depth_logits": depth_logits}
+
+    def loss(self, out, gt_boxes, depth_maps=None):
+        cfg = self.cfg
+        logic = cfg.head_logic
+        targets = logic.assign_targets(gt_boxes)
+        rpn_loss, tb = logic.loss(out["head_out"], targets)
+        if depth_maps is not None:
+            disc = cfg.model_cfg.VFE.FFN.DISCRETIZE
+            num_bins = int(disc["num_bins"])
+            dl = out["depth_logits"]
+            b, h, w, _ = dl.shape
+            # downsample gt depth to the feature stride by striding
+            stride = depth_maps.shape[1] // h
+            gt_d = depth_maps[:, ::stride, ::stride][:, :h, :w]
+            bins = depth_to_lid_bin(gt_d, float(disc["depth_min"]),
+                                    float(disc["depth_max"]), num_bins)
+            valid = (gt_d > 0).astype(jnp.float32)
+            one_hot = jax.nn.one_hot(jnp.clip(bins, 0, num_bins), num_bins + 1)
+            ddn = weighted_cross_entropy(dl.reshape(b, -1, num_bins + 1),
+                                         one_hot.reshape(b, -1, num_bins + 1),
+                                         valid.reshape(b, -1))
+            ddn_loss = ddn.sum() / jnp.maximum(valid.sum(), 1.0)
+            tb["ddn_loss"] = ddn_loss
+            rpn_loss = rpn_loss + ddn_loss
+        return rpn_loss, tb

@@ -350,6 +350,7 @@ def _register_pvrcnn():
 
     from .voxelrcnn import VoxelRCNN
 
+    from .caddn import CaDDN
     from .parta2 import PartA2
     from .pvrcnn import PVRCNNPlusPlus
 
@@ -360,6 +361,7 @@ def _register_pvrcnn():
     DETECTORS["VoxelRCNN"] = VoxelRCNN
     DETECTORS["PartA2Net"] = PartA2
     DETECTORS["PartA2"] = PartA2
+    DETECTORS["CaDDN"] = CaDDN
 
 
 def build_detector(cfg, data_cfg=None, class_names=None, max_voxels=None):

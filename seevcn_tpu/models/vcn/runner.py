@@ -146,8 +146,8 @@ class VCNTrainer:
             self.export_reference_pth(state,
                                       os.path.join(self.work_dir, f"{name}.pth"),
                                       epoch=epoch)
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"reference .pth export skipped ({e})")
 
     def export_reference_pth(self, state, path: str, epoch: int = 0):
         """Write a reference-layout VCN checkpoint (builder.py:114-123)."""

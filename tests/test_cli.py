@@ -99,6 +99,27 @@ def test_cli_train_then_eval(tmp_path):
                                 "--output_dir", str(out_dir)])
     assert report is not None and "Car" in report
 
+    # DA: DATA_CONFIG_TAR routes evaluation to the target dataset
+    import yaml as _yaml
+    with open(cfg_path) as f:
+        full = _yaml.safe_load(f)
+    full["DATA_CONFIG_TAR"] = {
+        "DATASET": "KittiDataset", "TARGET": True, "CLASS_NAMES": ["Car"],
+        "DATA_PATH": str(tmp_path), "SHIFT_COOR": [0.0, 0.0, 0.0],
+        "POINT_CLOUD_RANGE": [0, -8, -2, 16, 8, 2],
+        "POINT_FEATURE_ENCODING": full["DATA_CONFIG"]["POINT_FEATURE_ENCODING"],
+        "DATA_PROCESSOR": [], "INFO_PATH": {"train": [],
+                                            "test": ["kitti_infos_val.pkl"]}}
+    tar_cfg = tmp_path / "mini_da.yaml"
+    with open(tar_cfg, "w") as f:
+        _yaml.safe_dump(full, f)
+    report_tar, ap_tar = test_cli.main(["--cfg_file", str(tar_cfg),
+                                        "--ckpt", str(ckpts[-1]),
+                                        "--batch_size", "2",
+                                        "--max_points", "1024",
+                                        "--output_dir", str(out_dir)])
+    assert report_tar is not None and "Car" in report_tar
+
     # the exported .pth must also be loadable for eval (checkpoint-compat path)
     report2, ap2 = test_cli.main(["--cfg_file", str(cfg_path),
                                   "--ckpt", str(pths[-1]),
