@@ -72,7 +72,7 @@ def nms_bev(boxes: jax.Array, scores: jax.Array, thresh: float,
     if valid_mask is not None:
         ok = ok & valid_mask
     if score_thresh is not None:
-        ok = ok & (scores > score_thresh)
+        ok = ok & (scores >= score_thresh)  # reference uses >= (model_nms_utils)
     masked_scores = jnp.where(ok, scores, NEG_INF)
 
     top_scores, order = jax.lax.top_k(masked_scores, k)
