@@ -98,16 +98,19 @@ def main(argv=None):
     loader = BackgroundLoader(dataset, batch_size, num_workers=4,
                               seed=start_epoch)
     for ep in range(start_epoch, epochs):
-        for batch in loader:
+        # pre-split per-epoch aug keys once: per-step key creation is a tiny
+        # device op whose dispatch dwarfs the train step on remote backends
+        aug_keys = jax.random.split(jax.random.fold_in(rng, ep),
+                                    max(len(loader), 1))
+        for it, batch in enumerate(loader):
             if dataset.aug_list:
                 batch = jax.tree.map(jnp.asarray, batch)
-                batch = dataset.augment_on_device(
-                    jax.random.fold_in(rng, int(state.step)), batch)
+                batch = dataset.augment_on_device(aug_keys[it], batch)
             b = shard_batch(mesh, (batch["points"], batch["points_valid"],
                                    batch["gt_boxes"]))
             state, metrics = step_fn(state, *b, rng)
-            if int(state.step) % 50 == 1:
-                print(f"epoch {ep} step {int(state.step)}: " + " ".join(
+            if it % 50 == 0:   # avoid per-step device sync on state.step
+                print(f"epoch {ep} it {it}: " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in metrics.items()))
 
         host = {"params": jax.tree.map(np.asarray, state.params),

@@ -38,7 +38,14 @@ from ..losses import binary_cross_entropy_with_logits
 def proposal_layer(batch_cls_preds: jax.Array, batch_box_preds: jax.Array,
                    nms_config) -> dict:
     """(B, A, ncls), (B, A, 7+C) -> rois (B, R, 7+C), roi_scores (B, R),
-    roi_labels (B, R) int32 (1-based), roi_mask (B, R)."""
+    roi_labels (B, R) int32 (1-based), roi_mask (B, R).
+
+    No gradients flow through proposals (reference @torch.no_grad,
+    roi_head_template.py:45) — without this the NMS's pairwise rotated-IoU
+    gets differentiated, exploding the backward graph (~2s/step observed).
+    """
+    batch_cls_preds = jax.lax.stop_gradient(batch_cls_preds)
+    batch_box_preds = jax.lax.stop_gradient(batch_box_preds)
     # reference takes max over raw cls preds (sigmoid applied later)
     roi_score = jnp.max(batch_cls_preds, axis=-1)
     roi_label = jnp.argmax(batch_cls_preds, axis=-1)

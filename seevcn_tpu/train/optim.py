@@ -15,13 +15,31 @@ from __future__ import annotations
 import optax
 
 
+def _safe_cosine_onecycle(total_steps: int, peak_value: float,
+                          pct_start: float, div_factor: float,
+                          final_div_factor: float):
+    """cosine_onecycle_schedule that survives tiny total_steps.
+
+    optax floors the phase boundary to ``int(pct_start * transition_steps)``;
+    when that hits 0 (e.g. 2 total steps, pct_start 0.4) the warmup interval
+    has zero width and the whole schedule evaluates to NaN. Clamp the warmup
+    to [1, total_steps - 1] whole steps and re-derive pct_start so the
+    floored boundary lands exactly there.
+    """
+    t = max(int(total_steps), 2)
+    warm = min(max(int(round(pct_start * t)), 1), t - 1)
+    return optax.cosine_onecycle_schedule(
+        transition_steps=t, peak_value=peak_value,
+        pct_start=(warm + 0.5) / t, div_factor=div_factor,
+        final_div_factor=final_div_factor)
+
+
 def build_lr_schedule(opt_cfg, total_steps: int):
     name = opt_cfg.OPTIMIZER
     lr = float(opt_cfg.LR)
     if name in ("adam_onecycle", "onecycle"):
-        return optax.cosine_onecycle_schedule(
-            transition_steps=max(total_steps, 1),
-            peak_value=lr,
+        return _safe_cosine_onecycle(
+            total_steps, lr,
             pct_start=float(opt_cfg.get("PCT_START", 0.4)),
             div_factor=float(opt_cfg.get("DIV_FACTOR", 10)),
             final_div_factor=1e4,
@@ -54,9 +72,8 @@ def build_optimizer(opt_cfg, total_steps: int) -> optax.GradientTransformation:
     if name == "adam_onecycle":
         moms = opt_cfg.get("MOMS", [0.95, 0.85])
         # fastai cycles b1 opposite to lr: high -> low -> high
-        b1 = optax.cosine_onecycle_schedule(
-            transition_steps=max(total_steps, 1),
-            peak_value=float(moms[1]),
+        b1 = _safe_cosine_onecycle(
+            total_steps, float(moms[1]),
             pct_start=float(opt_cfg.get("PCT_START", 0.4)),
             div_factor=float(moms[1]) / float(moms[0]),
             final_div_factor=float(moms[1]) / float(moms[0]),

@@ -71,3 +71,23 @@ def test_onecycle_schedule_shape():
     assert lrs[0] < lrs[1]       # warmup to peak at pct_start
     assert lrs[2] < lrs[0]       # final below initial
     np.testing.assert_allclose(lrs[1], 0.003, rtol=1e-3)
+
+
+def test_onecycle_schedule_finite_at_tiny_total_steps():
+    """optax floors the warmup boundary to int(pct_start*T); for tiny T that
+    used to produce a zero-width interval and an all-NaN schedule (every
+    param went NaN after the first optimizer step)."""
+    import optax
+
+    from seevcn_tpu.train.optim import build_lr_schedule, build_optimizer
+    for total in (1, 2, 3, 4):
+        sched = build_lr_schedule(_opt_cfg(), total)
+        vals = [float(sched(t)) for t in range(total + 2)]
+        assert all(np.isfinite(v) for v in vals), (total, vals)
+    tx = build_optimizer(_opt_cfg(), 2)
+    params = {"w": jnp.ones((4,))}
+    st = tx.init(params)
+    for _ in range(3):
+        up, st = tx.update({"w": jnp.full((4,), 0.5)}, st, params)
+        params = optax.apply_updates(params, up)
+    assert np.isfinite(np.asarray(params["w"])).all()
