@@ -93,10 +93,15 @@ def random_object_scaling(rng, points, gt_boxes, gt_mask, scale_range):
 
 @partial(jax.jit, static_argnames=("aug_list",))
 def augment_frame(rng, points, valid, gt_boxes, gt_mask, aug_list: tuple):
-    """aug_list: tuple of (name, params-tuple) — static config.
+    """aug_list: tuple of (name, params) — static config.
 
     Supported names: random_object_scaling, random_world_flip (params =
-    axes), random_world_rotation, random_world_scaling.
+    axes), random_world_rotation, random_world_scaling,
+    random_world_translation, random_local_translation,
+    random_local_rotation, random_local_scaling,
+    random_world_frustum_dropout, random_local_frustum_dropout.
+    Returns (points, valid, gt_boxes, gt_mask) — frustum dropouts shrink
+    the validity masks instead of the arrays (fixed shapes).
     """
     rngs = jax.random.split(rng, len(aug_list) + 2)
     for i, (name, params) in enumerate(aug_list):
@@ -115,9 +120,27 @@ def augment_frame(rng, points, valid, gt_boxes, gt_mask, aug_list: tuple):
             points, gt_boxes = global_rotation(r, points, gt_boxes, params)
         elif name == "random_world_scaling":
             points, gt_boxes = global_scaling(r, points, gt_boxes, params)
+        elif name == "random_world_translation":
+            points, gt_boxes = random_world_translation(
+                r, points, gt_boxes, params[0], params[1])
+        elif name == "random_local_translation":
+            points, gt_boxes = random_local_translation(
+                r, points, gt_boxes, gt_mask, params[0], params[1])
+        elif name == "random_local_rotation":
+            points, gt_boxes = random_local_rotation(r, points, gt_boxes,
+                                                     gt_mask, params)
+        elif name == "random_local_scaling":
+            points, gt_boxes = random_local_scaling(r, points, gt_boxes,
+                                                    gt_mask, params)
+        elif name == "random_world_frustum_dropout":
+            points, valid, gt_boxes, gt_mask = random_world_frustum_dropout(
+                r, points, valid, gt_boxes, gt_mask, params[0], params[1])
+        elif name == "random_local_frustum_dropout":
+            points, valid, gt_boxes, gt_mask = random_local_frustum_dropout(
+                r, points, valid, gt_boxes, gt_mask, params[0], params[1])
         else:
             raise NotImplementedError(name)
-    return points, gt_boxes
+    return points, valid, gt_boxes, gt_mask
 
 
 def aug_list_from_cfg(aug_cfg) -> tuple:
@@ -139,6 +162,26 @@ def aug_list_from_cfg(aug_cfg) -> tuple:
             out.append((name, tuple(r)))
         elif name == "random_world_scaling":
             out.append((name, tuple(a["WORLD_SCALE_RANGE"])))
+        elif name == "random_world_translation":
+            std = a["NOISE_TRANSLATE_STD"]
+            std = std if isinstance(std, (list, tuple)) else [std] * 3
+            out.append((name, (tuple(float(v) for v in std),
+                               tuple(a.get("ALONG_AXIS_LIST", ["x", "y", "z"])))))
+        elif name == "random_local_translation":
+            out.append((name, (tuple(a["LOCAL_TRANSLATION_RANGE"]),
+                               tuple(a.get("ALONG_AXIS_LIST", ["x", "y", "z"])))))
+        elif name == "random_local_rotation":
+            rr = a["LOCAL_ROT_ANGLE"]
+            rr = rr if isinstance(rr, (list, tuple)) else [-rr, rr]
+            out.append((name, tuple(rr)))
+        elif name == "random_local_scaling":
+            out.append((name, tuple(a["LOCAL_SCALE_RANGE"])))
+        elif name in ("random_world_frustum_dropout",
+                      "random_local_frustum_dropout"):
+            out.append((name, (tuple(a["INTENSITY_RANGE"]),
+                               tuple(a.get("DIRECTION",
+                                           ["top", "bottom", "left",
+                                            "right"])))))
     return tuple(out)
 
 
@@ -210,3 +253,149 @@ class GTDatabaseSampler:
                 existing = np.concatenate([existing, boxes[:, :existing.shape[1]]])
         return (np.concatenate(new_points), np.concatenate(new_boxes),
                 np.array(new_names))
+
+
+# ---------------------------------------------------------------------------
+# world translation / frustum dropout / local (per-object) augs
+# (augmentor_utils.py:203-560, data_augmentor.py:117-218)
+# ---------------------------------------------------------------------------
+def random_world_translation(rng, points, gt_boxes, stds, axes):
+    """Gaussian world shift per listed axis (random_translation_along_*)."""
+    offs = jax.random.normal(rng, (3,)) * jnp.asarray(stds)
+    sel = jnp.asarray([1.0 if ax in axes else 0.0 for ax in "xyz"])
+    offs = offs * sel
+    return points.at[:, :3].add(offs), gt_boxes.at[:, :3].add(offs)
+
+
+def _in_box_mask(points, box):
+    """(P, 3+) points inside one (7,) box -> (P,) bool (get_points_in_box)."""
+    local = rotate_points_along_z((points[:, :3] - box[:3])[None],
+                                  -box[6][None])[0]
+    return (jnp.abs(local[:, 0]) <= box[3] / 2) & \
+           (jnp.abs(local[:, 1]) <= box[4] / 2) & \
+           (jnp.abs(local[:, 2]) <= box[5] / 2)
+
+
+def _scan_boxes(points, gt_boxes, gt_mask, per_box_fn, rng):
+    """Sequentially apply per_box_fn(points, box, key) over valid boxes —
+    matches the reference's in-place loop semantics for overlapping boxes."""
+    keys = jax.random.split(rng, gt_boxes.shape[0])
+
+    def body(pts, xs):
+        box, ok, key = xs
+        new_pts, new_box = per_box_fn(pts, box, key)
+        pts = jnp.where(ok, new_pts, pts)
+        box = jnp.where(ok, new_box, box)
+        return pts, box
+
+    points, boxes = jax.lax.scan(body, points, (gt_boxes, gt_mask, keys))
+    return points, boxes
+
+
+def random_local_translation(rng, points, gt_boxes, gt_mask, offset_range,
+                             axes):
+    """Per-object uniform shift (random_local_translation_along_*)."""
+    sel = jnp.asarray([1.0 if ax in axes else 0.0 for ax in "xyz"])
+
+    def per_box(pts, box, key):
+        off = jax.random.uniform(key, (3,), minval=offset_range[0],
+                                 maxval=offset_range[1]) * sel
+        inb = _in_box_mask(pts, box)
+        pts = pts.at[:, :3].add(jnp.where(inb[:, None], off, 0.0))
+        return pts, box.at[:3].add(off)
+
+    pts, boxes = _scan_boxes(points, gt_boxes, gt_mask, per_box, rng)
+    return pts, boxes
+
+
+def random_local_rotation(rng, points, gt_boxes, gt_mask, rot_range):
+    """Per-object rotation about the box centroid (local_rotation)."""
+
+    def per_box(pts, box, key):
+        ang = jax.random.uniform(key, (), minval=rot_range[0],
+                                 maxval=rot_range[1])
+        inb = _in_box_mask(pts, box)
+        rel = pts[:, :3] - box[:3]
+        rot = rotate_points_along_z(rel[None], ang[None])[0] + box[:3]
+        pts = pts.at[:, :3].set(jnp.where(inb[:, None], rot, pts[:, :3]))
+        return pts, box.at[6].add(ang)
+
+    return _scan_boxes(points, gt_boxes, gt_mask, per_box, rng)
+
+
+def random_local_scaling(rng, points, gt_boxes, gt_mask, scale_range):
+    """Per-object scaling about the box centroid (local_scaling)."""
+
+    def per_box(pts, box, key):
+        s = jax.random.uniform(key, (), minval=scale_range[0],
+                               maxval=scale_range[1])
+        inb = _in_box_mask(pts, box)
+        scaled = (pts[:, :3] - box[:3]) * s + box[:3]
+        pts = pts.at[:, :3].set(jnp.where(inb[:, None], scaled, pts[:, :3]))
+        return pts, box.at[3:6].multiply(s)
+
+    return _scan_boxes(points, gt_boxes, gt_mask, per_box, rng)
+
+
+def random_world_frustum_dropout(rng, points, valid, gt_boxes, gt_mask,
+                                 intensity_range, directions):
+    """global_frustum_dropout_{top,bottom,left,right}: slice off a random
+    fraction of the scene along z (top/bottom) or y (left/right). Dropped
+    points become invalid (fixed shape); boxes whose center falls in the
+    dropped slab are masked out."""
+    axis_sign = {"top": (2, +1), "bottom": (2, -1),
+                 "left": (1, +1), "right": (1, -1)}
+    keys = jax.random.split(rng, len(directions))
+    for d, key in zip(directions, keys):
+        ax, sign = axis_sign[d]
+        inten = jax.random.uniform(key, (), minval=intensity_range[0],
+                                   maxval=intensity_range[1])
+        big = jnp.where(valid, points[:, ax], -jnp.inf).max()
+        small = jnp.where(valid, points[:, ax], jnp.inf).min()
+        span = big - small
+        if sign > 0:
+            thr = big - inten * span
+            keep_p = points[:, ax] < thr
+            keep_b = gt_boxes[:, ax] < thr
+        else:
+            thr = small + inten * span
+            keep_p = points[:, ax] > thr
+            keep_b = gt_boxes[:, ax] > thr
+        valid = valid & keep_p
+        gt_mask = gt_mask & keep_b
+    return points, valid, gt_boxes, gt_mask
+
+
+def random_local_frustum_dropout(rng, points, valid, gt_boxes, gt_mask,
+                                 intensity_range, directions):
+    """local_frustum_dropout_*: per object, drop the top/bottom/left/right
+    slice of ITS points (box kept)."""
+    axis_sign = {"top": (2, +1), "bottom": (2, -1),
+                 "left": (1, +1), "right": (1, -1)}
+    n_dir = len(directions)
+    keys = jax.random.split(rng, gt_boxes.shape[0] * n_dir).reshape(
+        gt_boxes.shape[0], n_dir, 2)
+
+    def body(val, xs):
+        box, ok, key = xs
+        inb = _in_box_mask(points, box)
+        for di, d in enumerate(directions):
+            ax, sign = axis_sign[d]
+            inten = jax.random.uniform(key[di], (),
+                                       minval=intensity_range[0],
+                                       maxval=intensity_range[1])
+            # slab measured over the full box extent along the axis
+            half = box[5] / 2 if ax == 2 else box[4] / 2
+            top = box[ax] + half
+            bot = box[ax] - half
+            if sign > 0:
+                thr = top - inten * (top - bot)
+                drop = inb & (points[:, ax] > thr)
+            else:
+                thr = bot + inten * (top - bot)
+                drop = inb & (points[:, ax] < thr)
+            val = jnp.where(ok, val & ~drop, val)
+        return val, 0
+
+    valid, _ = jax.lax.scan(body, valid, (gt_boxes, gt_mask, keys))
+    return points, valid, gt_boxes, gt_mask

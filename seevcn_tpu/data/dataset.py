@@ -140,20 +140,28 @@ class DatasetTemplate:
     def augment_on_device(self, rng, batch):
         """Apply the jitted augmentation chain to a device batch dict."""
         import jax
+        import jax.numpy as jnp
 
         if not self.aug_list:
             return batch
         rngs = jax.random.split(rng, batch["points"].shape[0])
-        pts, gbs = jax.vmap(
+        pts, pvalid, gbs, gmask = jax.vmap(
             lambda r, p, v, g, m: augment_frame(r, p, v, g, m,
                                                 aug_list=self.aug_list)
         )(rngs, batch["points"], batch["points_valid"],
           batch["gt_boxes"][..., :7], batch["gt_mask"])
         batch = dict(batch)
         batch["points"] = pts
-        batch["gt_boxes"] = batch["gt_boxes"].at[..., :7].set(gbs) if \
-            hasattr(batch["gt_boxes"], "at") else np.concatenate(
-                [np.asarray(gbs), batch["gt_boxes"][..., 7:]], axis=-1)
+        batch["points_valid"] = pvalid
+        batch["gt_mask"] = gmask
+        if hasattr(batch["gt_boxes"], "at"):
+            gb = batch["gt_boxes"].at[..., :7].set(gbs)
+            # masked-out gts become zero rows (the padding convention)
+            batch["gt_boxes"] = jnp.where(gmask[..., None], gb, 0.0)
+        else:
+            gb = np.concatenate([np.asarray(gbs),
+                                 batch["gt_boxes"][..., 7:]], axis=-1)
+            batch["gt_boxes"] = np.where(np.asarray(gmask)[..., None], gb, 0.0)
         return batch
 
     @staticmethod

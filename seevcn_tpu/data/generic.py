@@ -180,8 +180,9 @@ class SCCustomDataset(CustomDataset):
 
 class NuScenesDataset(_InfosDataset):
     """nuScenes (nuscenes_dataset.py): infos carry gt_boxes/gt_names and a
-    lidar_path; native NDS eval needs nuscenes-devkit (gated), KITTI-protocol
-    eval otherwise (EVAL_METRIC: kitti, the reference's DA configs' choice)."""
+    lidar_path; EVAL_METRIC 'nuscenes' runs the native NDS evaluator
+    (nuscenes_eval.py, devkit-free), 'kitti' the KITTI protocol (the
+    reference's DA configs' choice, nuscenes_dataset.py:334-351)."""
 
     def get_lidar(self, info) -> np.ndarray:
         path = info["lidar_path"]
@@ -192,10 +193,24 @@ class NuScenesDataset(_InfosDataset):
 
     def evaluation(self, det_annos, class_names, **kw):
         if self.dataset_cfg.get("EVAL_METRIC", "kitti") == "nuscenes":
-            try:
-                import nuscenes  # noqa: F401
-            except ImportError:
-                pass  # devkit absent: fall through to KITTI protocol
+            from .nuscenes_eval import nuscenes_eval
+
+            gt_annos = [info.get("annos", {
+                "name": np.asarray(info.get("gt_names", [])),
+                "gt_boxes_lidar": np.asarray(info.get("gt_boxes",
+                                                      np.zeros((0, 7))))})
+                        for info in self.infos]
+            det = copy.deepcopy(det_annos)
+            for d in det:
+                if "boxes_lidar" not in d and "pred_boxes" in d:
+                    d["boxes_lidar"] = np.asarray(d["pred_boxes"])
+                if "name" not in d:
+                    d["name"] = np.array(class_names)[
+                        np.asarray(d["pred_labels"], int) - 1] if len(
+                            d.get("pred_labels", [])) else np.array([])
+                if "score" not in d:
+                    d["score"] = np.asarray(d.get("pred_scores", []))
+            return nuscenes_eval(det, gt_annos, list(class_names))
         return self._kitti_protocol_eval(det_annos, class_names)
 
 
@@ -211,8 +226,10 @@ class SCNuScenesDataset(NuScenesDataset):
 
 
 class WaymoDataset(_InfosDataset):
-    """Waymo (waymo_dataset.py): per-sequence npy point files; native Waymo-OD
-    metrics need TF + waymo-open-dataset (gated), KITTI protocol otherwise."""
+    """Waymo (waymo_dataset.py): per-sequence npy point files. EVAL_METRIC
+    'waymo' runs the native AP/APH L1/L2 evaluator (waymo_eval.py,
+    devkit/TF-free), 'kitti' the KITTI protocol (waymo_dataset.py:372-388
+    offers the same choice)."""
 
     def get_lidar(self, info) -> np.ndarray:
         pc = info["point_cloud"]
@@ -222,6 +239,24 @@ class WaymoDataset(_InfosDataset):
                             f"{sample:04d}.npy")
         pts = np.load(path)
         return pts[:, :4].astype(np.float32)
+
+    def evaluation(self, det_annos, class_names, **kw):
+        if self.dataset_cfg.get("EVAL_METRIC", "kitti") == "waymo":
+            from .waymo_eval import waymo_eval
+
+            gt_annos = [info.get("annos", {}) for info in self.infos]
+            det = copy.deepcopy(det_annos)
+            for d in det:
+                if "boxes_lidar" not in d and "pred_boxes" in d:
+                    d["boxes_lidar"] = np.asarray(d["pred_boxes"])
+                if "name" not in d:
+                    d["name"] = np.array(class_names)[
+                        np.asarray(d["pred_labels"], int) - 1] if len(
+                            d.get("pred_labels", [])) else np.array([])
+                if "score" not in d:
+                    d["score"] = np.asarray(d.get("pred_scores", []))
+            return waymo_eval(det, gt_annos, list(class_names))
+        return self._kitti_protocol_eval(det_annos, class_names)
 
 
 class SCWaymoDataset(WaymoDataset):

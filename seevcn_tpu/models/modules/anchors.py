@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...geom.boxes import boxes3d_nearest_bev_iou
-from ...ops.iou3d import boxes_iou3d
+from ...ops.iou3d import boxes_iou3d, boxes_iou_bev
 from ...geom.transforms import limit_period
 from .box_coder import ResidualCoder
 
@@ -180,3 +180,91 @@ def get_direction_targets(anchors, reg_targets, dir_offset: float, num_bins: int
     offset_rot = limit_period(rot_gt - dir_offset, 0, 2 * np.pi)
     bins = jnp.floor(offset_rot / (2 * np.pi / num_bins)).astype(jnp.int32)
     return jnp.clip(bins, 0, num_bins - 1)
+
+
+class ATSSTargetAssigner:
+    """Adaptive Training Sample Selection (arXiv:1912.02424); reference
+    target_assigner/atss_target_assigner.py:7-142. Same fixed-shape interface
+    as AxisAlignedTargetAssigner: per gt, take the TOPK nearest anchors by 3D
+    center distance, threshold their IoUs at mean+std, require the anchor
+    center inside the gt's BEV rectangle, then give each anchor its best-IoU
+    gt (with each gt's global-argmax anchor force-matched)."""
+
+    def __init__(self, topk, box_coder, match_height: bool = False):
+        self.topk = int(topk)
+        self.box_coder = box_coder
+        self.match_height = bool(match_height)
+
+    def assign(self, anchors_per_class, gt_boxes):
+        anchors = anchors_per_class[0] if len(anchors_per_class) == 1 else \
+            jnp.concatenate([a.reshape(-1, a.shape[-1])
+                             for a in anchors_per_class], axis=0)
+        return _atss_assign_batch(anchors, gt_boxes, self.topk,
+                                  self.box_coder, self.match_height)
+
+
+@partial(jax.jit, static_argnames=("topk", "coder", "match_height"))
+def _atss_assign_batch(anchors, gt_boxes, topk, coder, match_height):
+    a = anchors.reshape(-1, anchors.shape[-1])[:, :7]
+    num_a = a.shape[0]
+
+    def assign_one(gt_all):
+        gt = gt_all[:, :7]
+        gt_cls = gt_all[:, -1].astype(jnp.int32)
+        valid = jnp.abs(gt_all).sum(axis=1) > 0
+        num_gt = gt.shape[0]
+
+        iou = boxes_iou3d(a, gt, row_chunk=8192) if match_height \
+            else boxes_iou_bev(a, gt, row_chunk=8192)
+        iou = jnp.where(valid[None, :], iou, 0.0)
+
+        dist = jnp.linalg.norm(a[:, None, :3] - gt[None, :, :3], axis=-1)
+        # topk NEAREST anchors per gt -> candidate mask (A, M)
+        _, topk_idx = jax.lax.top_k(-dist.T, topk)          # (M, K)
+        cand = jnp.zeros((num_gt, num_a), bool)
+        cand = cand.at[jnp.arange(num_gt)[:, None], topk_idx].set(True).T
+
+        cand_iou = jnp.take_along_axis(iou.T, topk_idx, axis=1)  # (M, K)
+        mean = cand_iou.mean(axis=1)
+        std = jnp.std(cand_iou, axis=1, ddof=1)             # torch .std()
+        thr = mean + std + 1e-6                             # (M,)
+
+        # anchor center inside gt BEV rectangle (reference checks x<->dx,
+        # y<->dy in the gt's local frame after the its bugfixed swap)
+        local = a[:, None, :3] - gt[None, :, :3]            # (A, M, 3)
+        local = _rotate_pairs(local, gt[:, 6])
+        inside = (jnp.abs(local[..., 0]) <= gt[None, :, 3] / 2) & \
+                 (jnp.abs(local[..., 1]) <= gt[None, :, 4] / 2)
+
+        is_pos = cand & (iou >= thr[None, :]) & inside & valid[None, :]
+
+        neg_inf = jnp.float32(-1e9)
+        iou_pos = jnp.where(is_pos, iou, neg_inf)           # (A, M)
+        best_gt = jnp.argmax(iou_pos, axis=1)
+        best_val = jnp.max(iou_pos, axis=1)
+
+        # force-match each valid gt's argmax-iou anchor
+        gt_best_anchor = jnp.argmax(iou, axis=0)            # (M,)
+        gt_best_val = jnp.max(iou, axis=0)
+        best_gt = best_gt.at[gt_best_anchor].set(
+            jnp.where(valid, jnp.arange(num_gt), best_gt[gt_best_anchor]))
+        best_val = best_val.at[gt_best_anchor].set(
+            jnp.where(valid, gt_best_val, best_val[gt_best_anchor]))
+
+        fg = best_val > neg_inf / 2
+        labels = jnp.where(fg, gt_cls[best_gt], 0)
+        targets = coder.encode(gt[best_gt], a)
+        targets = jnp.where(fg[:, None], targets, 0.0)
+        return labels, targets, fg.astype(jnp.float32)
+
+    labels, targets, weights = jax.vmap(assign_one)(gt_boxes)
+    return {"box_cls_labels": labels, "box_reg_targets": targets,
+            "reg_weights": weights}
+
+
+def _rotate_pairs(local, angles):
+    """(A, M, 3) points rotated by -angles (M,) around z, pairwise."""
+    c, s = jnp.cos(-angles), jnp.sin(-angles)               # (M,)
+    x = local[..., 0] * c[None, :] - local[..., 1] * s[None, :]
+    y = local[..., 0] * s[None, :] + local[..., 1] * c[None, :]
+    return jnp.stack([x, y, local[..., 2]], axis=-1)

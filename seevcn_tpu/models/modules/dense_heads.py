@@ -69,9 +69,17 @@ class AnchorHeadLogic:
         # interleaved across classes, so rebuild per-class splits:
         self._per_class_anchors = self._split_per_class(acfg, grid_size,
                                                         point_cloud_range)
-        self.assigner = AxisAlignedTargetAssigner(
-            acfg, tcfg, class_names, self.box_coder,
-            match_height=bool(tcfg.get("MATCH_HEIGHT", False)))
+        if tcfg.get("NAME", "AxisAlignedTargetAssigner") == "ATSS":
+            # anchor_head_template.py:55-60
+            from .anchors import ATSSTargetAssigner
+
+            self.assigner = ATSSTargetAssigner(
+                topk=int(tcfg.TOPK), box_coder=self.box_coder,
+                match_height=bool(tcfg.get("MATCH_HEIGHT", False)))
+        else:
+            self.assigner = AxisAlignedTargetAssigner(
+                acfg, tcfg, class_names, self.box_coder,
+                match_height=bool(tcfg.get("MATCH_HEIGHT", False)))
 
         self.use_dir = model_cfg.get("USE_DIRECTION_CLASSIFIER", False)
         self.dir_offset = float(model_cfg.get("DIR_OFFSET", 0.78539))

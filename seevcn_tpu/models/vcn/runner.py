@@ -65,6 +65,12 @@ class VCNTrainer:
                                      if k in ("input", "gt_boxes")}, train=False)
         self.tx = build_vcn_optimizer(self.cfg.get("optimizer"),
                                       self.cfg.get("scheduler"), total_steps)
+        # gradient accumulation (reference runner.py:128-131 step_per_update):
+        # optax.MultiSteps applies the inner update every k-th call and
+        # accumulates grads in between — same update() signature, still jits.
+        k = int(self.cfg.get("step_per_update", 1))
+        if k > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=k)
         return {"params": variables["params"],
                 "batch_stats": variables.get("batch_stats", {}),
                 "opt_state": self.tx.init(variables["params"]),

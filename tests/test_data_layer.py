@@ -81,8 +81,8 @@ def test_world_augmentations_consistency():
     aug_list = (("random_world_flip", ("x", "y")),
                 ("random_world_rotation", (-0.7853, 0.7853)),
                 ("random_world_scaling", (0.95, 1.05)))
-    pts2, gb2 = A.augment_frame(rng, pts, jnp.ones(50, bool), gb,
-                                jnp.ones(1, bool), aug_list=aug_list)
+    pts2, _, gb2, _ = A.augment_frame(rng, pts, jnp.ones(50, bool), gb,
+                                      jnp.ones(1, bool), aug_list=aug_list)
     inside = np.asarray(points_in_boxes(pts2[:, :3], gb2[:, :7]))
     assert inside[0].mean() > 0.95
 
@@ -152,3 +152,76 @@ def test_kitti_dataset_with_synthetic_infos(tmp_path):
     assert os.path.exists(root / "out" / "000001.txt")
     report, res = ds.evaluation(annos, ["Car"])
     assert "Car" in report
+
+
+def test_translation_and_local_augmentations():
+    """World translation shifts everything rigidly; local augs move only the
+    points inside each gt box; frustum dropout shrinks validity masks."""
+    import jax
+    import jax.numpy as jnp
+    import seevcn_tpu.data.augmentor as A
+
+    rng = jax.random.PRNGKey(3)
+    rs = np.random.RandomState(0)
+    pts = np.zeros((60, 4), np.float32)
+    pts[:40] = rs.uniform(-20, 20, (40, 4))          # background
+    pts[40:, 0] = rs.uniform(9, 11, 20)              # inside the box
+    pts[40:, 1] = rs.uniform(-0.8, 0.8, 20)
+    pts[40:, 2] = rs.uniform(-0.7, 0.7, 20)
+    box = np.array([[10, 0, 0, 4.0, 2.0, 1.6, 0.0]], np.float32)
+    pj, gj = jnp.asarray(pts), jnp.asarray(box)
+    ones = jnp.ones(60, bool)
+    m1 = jnp.ones(1, bool)
+
+    # world translation: same offset everywhere
+    p2, _, g2, _ = A.augment_frame(
+        rng, pj, ones, gj, m1,
+        aug_list=(("random_world_translation", ((0.5, 0.5, 0.5),
+                                                ("x", "y", "z"))),))
+    off_p = np.asarray(p2[:, :3] - pj[:, :3])
+    off_b = np.asarray(g2[:, :3] - gj[:, :3])
+    np.testing.assert_allclose(off_p, np.tile(off_p[0], (60, 1)), atol=1e-5)
+    np.testing.assert_allclose(off_b[0], off_p[0], atol=1e-5)
+
+    # local translation: background untouched, box + its points shifted alike
+    p3, _, g3, _ = A.augment_frame(
+        rng, pj, ones, gj, m1,
+        aug_list=(("random_local_translation", ((-1.0, 1.0),
+                                                ("x", "y"))),))
+    np.testing.assert_allclose(np.asarray(p3[:40]), pts[:40], atol=1e-5)
+    shift = np.asarray(g3[0, :3] - gj[0, :3])
+    np.testing.assert_allclose(np.asarray(p3[40:, :3] - pj[40:, :3]),
+                               np.tile(shift, (20, 1)), atol=1e-5)
+
+    # local rotation: background untouched, box heading changed
+    p4, _, g4, _ = A.augment_frame(
+        rng, pj, ones, gj, m1,
+        aug_list=(("random_local_rotation", (-0.7, 0.7)),))
+    np.testing.assert_allclose(np.asarray(p4[:40]), pts[:40], atol=1e-5)
+    assert abs(float(g4[0, 6] - gj[0, 6])) > 1e-4
+
+    # local scaling: dims scale, background untouched
+    p5, _, g5, _ = A.augment_frame(
+        rng, pj, ones, gj, m1,
+        aug_list=(("random_local_scaling", (0.5, 0.6)),))
+    s = float(g5[0, 3] / gj[0, 3])
+    assert 0.5 <= s <= 0.6
+    np.testing.assert_allclose(np.asarray(p5[:40]), pts[:40], atol=1e-5)
+
+    # world frustum dropout (top): some points become invalid, none move
+    p6, v6, g6, m6 = A.augment_frame(
+        rng, pj, ones, gj, m1,
+        aug_list=(("random_world_frustum_dropout",
+                   ((0.3, 0.5), ("top",))),))
+    np.testing.assert_allclose(np.asarray(p6), pts, atol=1e-5)
+    assert 0 < int(np.asarray(v6).sum()) < 60
+    zmax = pts[:, 2].max()
+    dropped = ~np.asarray(v6)
+    assert pts[dropped, 2].min() > pts[:, 2].mean()  # only the top got cut
+
+    # local frustum dropout: only in-box points can be dropped
+    p7, v7, _, _ = A.augment_frame(
+        rng, pj, ones, gj, m1,
+        aug_list=(("random_local_frustum_dropout",
+                   ((0.4, 0.6), ("top",))),))
+    assert np.asarray(v7)[:40].all()

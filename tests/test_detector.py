@@ -186,3 +186,59 @@ def test_target_assigner_matches_expectations(second_iou):
     # every positive must have nonzero reg weight and targets
     w = np.asarray(targets["reg_weights"])
     assert ((labels > 0) == (w > 0)).all()
+
+
+def test_atss_assigner():
+    """ATSS (arXiv:1912.02424): anchors nearest a gt with IoU above the
+    candidate mean+std AND center inside the gt become positive; padding gt
+    rows assign nothing beyond force-matching."""
+    import jax.numpy as jnp
+    from seevcn_tpu.models.modules.anchors import ATSSTargetAssigner
+
+    coder = ResidualCoder()
+    assigner = ATSSTargetAssigner(topk=9, box_coder=coder)
+
+    # a small grid of anchors around two gts
+    xs, ys = np.meshgrid(np.arange(0, 40, 2.0), np.arange(-10, 10, 2.0),
+                         indexing="ij")
+    anchors = np.zeros((xs.size, 7), np.float32)
+    anchors[:, 0] = xs.ravel(); anchors[:, 1] = ys.ravel()
+    anchors[:, 2] = 0.0; anchors[:, 3:6] = [4.0, 2.0, 1.6]
+
+    gt = np.zeros((1, 4, 8), np.float32)
+    gt[0, 0] = [10, 0, 0, 4.2, 2.0, 1.6, 0.0, 1]
+    gt[0, 1] = [30, 4, 0, 4.0, 1.9, 1.5, 0.3, 2]
+    out = assigner.assign([jnp.asarray(anchors)], jnp.asarray(gt))
+    labels = np.asarray(out["box_cls_labels"][0])
+    w = np.asarray(out["reg_weights"][0])
+
+    assert (labels == 1).any() and (labels == 2).any()
+    # positives sit near their gt centers
+    pos1 = anchors[labels == 1]
+    assert np.all(np.linalg.norm(pos1[:, :2] - [10, 0], axis=1) < 4.0)
+    pos2 = anchors[labels == 2]
+    assert np.all(np.linalg.norm(pos2[:, :2] - [30, 4], axis=1) < 4.0)
+    # reg weights mark exactly the foreground anchors
+    np.testing.assert_array_equal(w > 0, labels > 0)
+    # padding rows (class 0) never produce positives of class 0
+    assert not (labels < 0).any()
+
+
+def test_atss_in_head_logic():
+    """NAME: ATSS routes AnchorHeadLogic to the ATSS assigner."""
+    import jax.numpy as jnp
+    from seevcn_tpu.models.modules.dense_heads import AnchorHeadLogic
+
+    cfg = _mini_cfg()["MODEL"]["DENSE_HEAD"]
+    cfg["TARGET_ASSIGNER_CONFIG"]["NAME"] = "ATSS"
+    cfg["TARGET_ASSIGNER_CONFIG"]["TOPK"] = 9
+    logic = AnchorHeadLogic(Cfg(cfg), num_class=1, class_names=["Car"],
+                            grid_size=np.array([32, 32, 40]),
+                            point_cloud_range=np.array(
+                                [0, -8, -2, 16, 8, 2.0]))
+    from seevcn_tpu.models.modules.anchors import ATSSTargetAssigner
+    assert isinstance(logic.assigner, ATSSTargetAssigner)
+    gt = np.zeros((1, 2, 8), np.float32)
+    gt[0, 0] = [8, 0, 0, 4.2, 2.0, 1.6, 0.0, 1]
+    t = logic.assign_targets(jnp.asarray(gt))
+    assert (np.asarray(t["box_cls_labels"]) == 1).any()

@@ -133,3 +133,39 @@ def test_loss_decreases_overfit(tmp_path):
            logger=lambda s: losses.append(float(s.split("loss=")[1].split()[0]))
            if "loss=" in s else None)
     assert losses[-1] < losses[0]
+
+
+def test_gradient_accumulation_matches_big_batch(tmp_path):
+    """step_per_update=2 on half-batches == one step on the full batch
+    (reference runner.py:128-131)."""
+    _make_vc_dataset(str(tmp_path / "g"), n_models=2, n_views=2)
+    ds = VCDataset(str(tmp_path / "g"), n_points=128, n_complete=256)
+    batch = next(ds.batches(4, shuffle=False))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    half1 = {k: v[:2] for k, v in jb.items()}
+    half2 = {k: v[2:] for k, v in jb.items()}
+
+    base = {"model": {"NAME": "VCN_CN"}, "losses": ["coarse"],
+            "loss_weights": [1.0],
+            "optimizer": {"type": "SGD", "kwargs": {"lr": 1e-2,
+                                                    "momentum": 0.0}}}
+    tr_full = VCNTrainer(Cfg(dict(base)), work_dir=str(tmp_path / "f"))
+    s_full = tr_full.init_state(batch, total_steps=10)
+    s_full, _ = tr_full.train_step(s_full, jb)
+
+    tr_acc = VCNTrainer(Cfg({**base, "step_per_update": 2}),
+                        work_dir=str(tmp_path / "a"))
+    s_acc = tr_acc.init_state(batch, total_steps=10)
+    key = lambda s: np.asarray(
+        s["params"]["encoder"]["mlp_conv1"]["dense0"]["kernel"])
+    k0 = key(s_acc)
+    s_acc, m1 = tr_acc.train_step(s_acc, half1)
+    # after the first micro-step the inner update has NOT been applied
+    np.testing.assert_array_equal(key(s_acc), k0)
+    s_acc, m2 = tr_acc.train_step(s_acc, half2)
+    k2 = key(s_acc)
+    assert not np.array_equal(k2, k0)
+    # accumulated grads == mean over micro-batches; only BatchNorm batch
+    # statistics differ vs the single full-batch step, so the result is
+    # close but not bitwise equal (exactly as in the reference's torch BN)
+    np.testing.assert_allclose(k2, key(s_full), atol=0.05)
