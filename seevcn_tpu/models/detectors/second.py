@@ -25,7 +25,8 @@ from ...ops.voxelize import grid_size as compute_grid_size
 from ...ops.voxelize import voxelize_batch
 from ..modules.backbone2d import BaseBEVBackbone
 from ..modules.backbone3d import VoxelBackBone8x, VoxelResBackBone8x
-from ..modules.dense_heads import AnchorHeadLogic, AnchorHeadSingle
+from ..modules.dense_heads import (AnchorHeadLogic, AnchorHeadSingle,
+                                   build_anchor_head)
 from ..modules.map_to_bev import height_compression, pillar_scatter
 from ..modules.roi_heads import (SECONDHead, proposal_layer, rcnn_iou_loss,
                                  roi_grid_pool_bev, sample_rois_for_rcnn)
@@ -97,12 +98,9 @@ class SECONDNetIoU(nn.Module):
 
         # --- dense head -------------------------------------------------------
         logic = cfg.head_logic
-        head_out = AnchorHeadSingle(
-            num_class=cfg.num_class,
-            num_anchors_per_location=logic.num_anchors_per_location,
-            code_size=logic.box_coder.code_size,
-            num_dir_bins=logic.num_dir_bins,
-            name="dense_head")(bev2d)
+        head_out = build_anchor_head(mcfg.DENSE_HEAD, logic, cfg.num_class,
+                                     cfg.class_names,
+                                     name="dense_head")(bev2d)
 
         batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
 
@@ -184,11 +182,9 @@ class SECONDNet(nn.Module):
             num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
             name="backbone_2d")(bev, train)
         logic = cfg.head_logic
-        head_out = AnchorHeadSingle(
-            num_class=cfg.num_class,
-            num_anchors_per_location=logic.num_anchors_per_location,
-            code_size=logic.box_coder.code_size,
-            num_dir_bins=logic.num_dir_bins, name="dense_head")(bev2d)
+        head_out = build_anchor_head(mcfg.DENSE_HEAD, logic, cfg.num_class,
+                                     cfg.class_names,
+                                     name="dense_head")(bev2d)
         batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
         return {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
                 "batch_box_preds": batch_box_preds, "spatial_features_2d": bev2d}
@@ -251,11 +247,9 @@ class PointPillar(nn.Module):
             num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
             name="backbone_2d")(canvas, train)
         logic = cfg.head_logic
-        head_out = AnchorHeadSingle(
-            num_class=cfg.num_class,
-            num_anchors_per_location=logic.num_anchors_per_location,
-            code_size=logic.box_coder.code_size,
-            num_dir_bins=logic.num_dir_bins, name="dense_head")(bev2d)
+        head_out = build_anchor_head(mcfg.DENSE_HEAD, logic, cfg.num_class,
+                                     cfg.class_names,
+                                     name="dense_head")(bev2d)
         batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
         return {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
                 "batch_box_preds": batch_box_preds, "spatial_features_2d": bev2d}

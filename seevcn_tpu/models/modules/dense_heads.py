@@ -174,3 +174,84 @@ class AnchorHeadLogic:
             boxes = boxes.at[..., 6].set(
                 rot + self.dir_offset + period * dir_labels.astype(boxes.dtype))
         return cls_preds, boxes
+
+
+class AnchorHeadMulti(nn.Module):
+    """Grouped multi-head anchors (anchor_head_multi.py:SingleHead).
+
+    Each head group scores ONLY its CLASS_NAMES_EACH_HEAD classes over its
+    own anchors; group outputs are scattered back into the global
+    per-location anchor layout (location-major, per-location anchors in
+    class order) so AnchorHeadLogic's assignment/loss/decode run unchanged.
+    Out-of-group class columns are filled with a -1e4 constant (sigmoid -> 0,
+    zero gradient), matching the per-head class restriction.
+    """
+    num_class: int
+    code_size: int
+    num_dir_bins: int
+    per_class_anchors: tuple   # anchors-per-location for each class, in order
+    groups: tuple              # tuple of tuples of class indices (contiguous)
+    shared_conv_channels: int = 64
+
+    @nn.compact
+    def __call__(self, bev: jax.Array):
+        x = bev
+        if self.shared_conv_channels:
+            x = nn.relu(nn.Conv(self.shared_conv_channels, (3, 3),
+                                name="shared_conv")(x))
+        b, h, w, _ = x.shape
+        neg = jnp.float32(-1e4)
+        cls_parts, box_parts, dir_parts = [], [], []
+        for gi, grp in enumerate(self.groups):
+            n_cls = len(grp)
+            a_g = int(sum(self.per_class_anchors[c] for c in grp))
+            cls = nn.Conv(a_g * n_cls, (1, 1), name=f"head{gi}_conv_cls")(x)
+            box = nn.Conv(a_g * self.code_size, (1, 1),
+                          name=f"head{gi}_conv_box")(x)
+            cls = cls.reshape(b, h, w, a_g, n_cls)
+            full = jnp.full((b, h, w, a_g, self.num_class), neg)
+            for ci, c in enumerate(grp):
+                full = full.at[..., c].set(cls[..., ci])
+            cls_parts.append(full)
+            box_parts.append(box.reshape(b, h, w, a_g, self.code_size))
+            if self.num_dir_bins:
+                d = nn.Conv(a_g * self.num_dir_bins, (1, 1),
+                            name=f"head{gi}_conv_dir_cls")(x)
+                dir_parts.append(d.reshape(b, h, w, a_g, self.num_dir_bins))
+        cls_preds = jnp.concatenate(cls_parts, axis=3)
+        box_preds = jnp.concatenate(box_parts, axis=3)
+        out = {"cls_preds": cls_preds.reshape(b, h, w, -1),
+               "box_preds": box_preds.reshape(b, h, w, -1)}
+        if self.num_dir_bins:
+            out["dir_cls_preds"] = jnp.concatenate(dir_parts,
+                                                   axis=3).reshape(b, h, w, -1)
+        return out
+
+
+def build_anchor_head(head_cfg, logic, num_class: int, class_names,
+                      name: str = "dense_head"):
+    """NAME-dispatched dense-head module (AnchorHeadSingle|AnchorHeadMulti)."""
+    if head_cfg.get("NAME", "AnchorHeadSingle") == "AnchorHeadMulti":
+        groups_names = [list(g) for g in head_cfg.CLASS_NAMES_EACH_HEAD]
+        names = list(class_names)
+        flat = [n for g in groups_names for n in g]
+        assert flat == names, (
+            "CLASS_NAMES_EACH_HEAD must partition CLASS_NAMES in order "
+            f"(got {flat} vs {names})")
+        idx = {n: i for i, n in enumerate(names)}
+        groups = tuple(tuple(idx[n] for n in g) for g in groups_names)
+        return AnchorHeadMulti(
+            num_class=num_class,
+            code_size=logic.box_coder.code_size,
+            num_dir_bins=logic.num_dir_bins,
+            per_class_anchors=tuple(int(v) for v in
+                                    logic.num_anchors_per_location_list),
+            groups=groups,
+            shared_conv_channels=int(head_cfg.get("SHARED_CONV_NUM_FILTER",
+                                                  64)),
+            name=name)
+    return AnchorHeadSingle(
+        num_class=num_class,
+        num_anchors_per_location=logic.num_anchors_per_location,
+        code_size=logic.box_coder.code_size,
+        num_dir_bins=logic.num_dir_bins, name=name)

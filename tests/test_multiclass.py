@@ -76,3 +76,57 @@ def test_multiclass_anchor_layout_and_assignment():
              "dir_cls_preds": jnp.asarray(rng.randn(1, 16, 16, 6 * 2).astype(np.float32))}
     loss, tb = logic.loss(preds, targets)
     assert np.isfinite(float(loss))
+
+
+def test_anchor_head_multi(tmp_path):
+    """AnchorHeadMulti: grouped heads score only their classes; the scattered
+    layout trains and decodes through the unchanged AnchorHeadLogic."""
+    import jax
+    import jax.numpy as jnp
+    from seevcn_tpu.utils.config import Cfg
+    from seevcn_tpu.models.detectors.second import build_detector
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_detector import _mini_cfg, _fake_batch
+
+    cfg = _mini_cfg()
+    cfg["CLASS_NAMES"] = ["Car", "Pedestrian", "Cyclist"]
+    hc = _head_cfg()
+    cfg["MODEL"]["DENSE_HEAD"] = hc
+    hc["NAME"] = "AnchorHeadMulti"
+    hc["SHARED_CONV_NUM_FILTER"] = 32
+    hc["CLASS_NAMES_EACH_HEAD"] = [["Car"], ["Pedestrian", "Cyclist"]]
+    cfg["MODEL"]["NAME"] = "SECONDNet"
+    cfg["MODEL"].pop("ROI_HEAD", None)
+    model, dcfg = build_detector(cfg)
+    pts, pv, gt = _fake_batch(np.random.RandomState(0))
+    variables = jax.jit(lambda p, v: model.init(
+        {"params": jax.random.PRNGKey(0)}, p, v, train=False))(pts, pv)
+    # grouped param structure exists
+    dh = variables["params"]["dense_head"]
+    assert "head0_conv_cls" in dh and "head1_conv_cls" in dh
+    assert "shared_conv" in dh
+
+    out, _ = jax.jit(lambda v, p, pv2, g: model.apply(
+        v, p, pv2, gt_boxes=g, train=True, rng=jax.random.PRNGKey(1),
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"]))(variables, pts, pv, gt)
+    logic = dcfg.head_logic
+    targets = logic.assign_targets(gt)
+    loss, tb = logic.loss(out["head_out"], targets)
+    assert np.isfinite(float(loss))
+
+    # decode: out-of-group class scores are ~0 after sigmoid
+    cls, box = logic.predict_boxes(out["head_out"])
+    assert cls.shape[-1] == 3 and box.shape[-1] == 7
+    probs = np.asarray(jax.nn.sigmoid(cls))
+    # per-anchor: the per-location layout puts Car anchors (group 0) first
+    npl = logic.num_anchors_per_location_list
+    a_car = int(npl[0])
+    per_loc = int(sum(npl))
+    probs_loc = probs.reshape(probs.shape[0], -1, per_loc, 3)
+    # Car anchors never score Pedestrian/Cyclist
+    assert probs_loc[:, :, :a_car, 1:].max() < 1e-3
+    # Ped/Cyc anchors never score Car
+    assert probs_loc[:, :, a_car:, 0].max() < 1e-3
