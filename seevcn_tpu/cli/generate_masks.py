@@ -6,14 +6,14 @@ exact COCO-JSON contract (so reference-generated masks are drop-in, and
 masks generated here are drop-in for the reference) while making the 2D
 model pluggable:
 
+  * --backend jax[:ckpt.pkl] : the native flax Mask R-CNN
+    (models/seg2d/maskrcnn.py), trained with models/seg2d trainer; runs
+    on the TPU.
   * --backend torchvision : torchvision Mask R-CNN (CPU torch wheel); needs
     local weights (zero-egress deployments must pre-stage them via
     TORCH_HOME or --weights).
   * --backend import:pkg.mod:fn : any callable(image_bgr) -> list of dicts
     {mask (H,W) bool, bbox xywh, score, category_id}.
-
-A JAX-native instance segmentation model is the planned round-2 backend;
-the interface here is what it will plug into.
 """
 from __future__ import annotations
 
@@ -121,6 +121,11 @@ def main(argv=None):
 
     if args.backend == "torchvision":
         run = _torchvision_backend(args.weights, args.score_thresh)
+    elif args.backend == "jax" or args.backend.startswith("jax:"):
+        from ..models.seg2d.backend import JaxMaskRCNNBackend
+
+        ckpt = args.backend[4:] if args.backend.startswith("jax:") else args.weights
+        run = JaxMaskRCNNBackend(ckpt, score_thresh=args.score_thresh)
     elif args.backend.startswith("import:"):
         run = _import_backend(args.backend[len("import:"):])
     else:

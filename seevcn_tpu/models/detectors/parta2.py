@@ -115,13 +115,15 @@ class PartA2(nn.Module):
 
         from ..modules.pvrcnn_head import roi_grid_points
 
-        def pool_one(frois, b):
-            grid = roi_grid_points(frois, g).reshape(-1, 3)
-            frame_mask = pf.mask & (pf.coords[:, 0] == b)
-            o = layer(grid, centers, pooled_feats, frame_mask, train)
-            return o.reshape(frois.shape[0], g ** 3, -1)
-
-        pooled = jax.vmap(pool_one)(rois[..., :7], jnp.arange(rois.shape[0]))
+        bsz = rois.shape[0]
+        grids = jax.vmap(lambda frois: roi_grid_points(frois, g)
+                         .reshape(-1, 3))(rois[..., :7])
+        frame_masks = pf.mask[None] & (
+            pf.coords[None, :, 0] == jnp.arange(bsz)[:, None])
+        sup = jnp.broadcast_to(centers, (bsz,) + centers.shape)
+        fts = jnp.broadcast_to(pooled_feats, (bsz,) + pooled_feats.shape)
+        o = layer(grids, sup, fts, frame_masks, train)
+        pooled = o.reshape(bsz, rois.shape[1], g ** 3, -1)
         b, r = pooled.shape[:2]
         x = pooled.reshape(b * r, -1)
 

@@ -65,14 +65,15 @@ class VoxelRCNNHead(nn.Module):
                             tuple(tuple(m) for m in lc["MLPS"]),
                             name=f"pool_{name}")
 
-            def one_frame(frois, b):
-                grid = roi_grid_points(frois, g).reshape(-1, 3)
-                frame_mask = st.mask & (st.coords[:, 0] == b)
-                out = layer(grid, centers, feats, frame_mask, train)
-                return out.reshape(frois.shape[0], g ** 3, -1)
-
-            pooled_all.append(jax.vmap(one_frame)(
-                rois[..., :7], jnp.arange(rois.shape[0])))
+            bsz = rois.shape[0]
+            grids = jax.vmap(lambda frois: roi_grid_points(frois, g)
+                             .reshape(-1, 3))(rois[..., :7])
+            frame_masks = st.mask[None] & (
+                st.coords[None, :, 0] == jnp.arange(bsz)[:, None])
+            sup = jnp.broadcast_to(centers, (bsz,) + centers.shape)
+            fts = jnp.broadcast_to(feats, (bsz,) + feats.shape)
+            out = layer(grids, sup, fts, frame_masks, train)
+            pooled_all.append(out.reshape(bsz, rois.shape[1], g ** 3, -1))
 
         pooled = jnp.concatenate(pooled_all, axis=-1)      # (B, R, G^3, C)
         b, r = pooled.shape[:2]

@@ -41,7 +41,15 @@ class SAGroupMLP(nn.Module):
 
 
 class SALayer(nn.Module):
-    """Multi-radius set abstraction around query points."""
+    """Multi-radius set abstraction around query points.
+
+    BATCHED: new_xyz (B, K, 3), support_xyz (B, N, 3), support_feats
+    (B, N, C) or None, support_valid (B, N) -> (B, K, sum(mlps[-1])).
+    The neighbor gather is a pure function vmapped over the batch; the
+    parametric MLPs (with BatchNorm) run on the flattened (B*K, S, C)
+    tensor OUTSIDE any vmap — flax mutable state written from inside
+    jax.vmap leaks tracers under an enclosing jit (jitted train steps).
+    """
     radii: Sequence[float]
     nsamples: Sequence[int]
     mlps: Sequence[Sequence[int]]
@@ -49,15 +57,137 @@ class SALayer(nn.Module):
     @nn.compact
     def __call__(self, new_xyz, support_xyz, support_feats, support_valid,
                  train: bool = False):
+        b, k = new_xyz.shape[:2]
         outs = []
         for i, (r, ns, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
-            idx, valid = ball_query(new_xyz, support_xyz, float(r), int(ns),
-                                    support_valid)
-            grouped = group_features(idx, valid, new_xyz, support_xyz,
-                                     support_feats)
-            outs.append(SAGroupMLP(tuple(mlp), name=f"scale{i}")(grouped, valid,
-                                                                 train))
+            def gather(q, sup, v, f=None):
+                idx, valid = ball_query(q, sup, float(r), int(ns), v)
+                return group_features(idx, valid, q, sup, f), valid
+
+            if support_feats is None:
+                grouped, valid = jax.vmap(gather)(new_xyz, support_xyz,
+                                                  support_valid)
+            else:
+                grouped, valid = jax.vmap(gather)(new_xyz, support_xyz,
+                                                  support_valid, support_feats)
+            g = grouped.reshape(b * k, *grouped.shape[2:])
+            v = valid.reshape(b * k, -1)
+            outs.append(SAGroupMLP(tuple(mlp), name=f"scale{i}")(g, v, train)
+                        .reshape(b, k, -1))
         return jnp.concatenate(outs, axis=-1)
+
+
+class VectorPoolAggregation(nn.Module):
+    """One VectorPool group (reference pointnet2_stack vector_pool kernels,
+    pv_rcnn_plusplus.yaml GROUP_CFG_*): neighbors within
+    MAX_NEIGHBOR_DISTANCE are binned into an n1*n2*n3 local sub-voxel grid
+    centered on the query; per-bin mean of [relative xyz, reduced features]
+    is flattened in fixed bin order and run through POST_MLPS.
+
+    Deviation (documented): the reference's LOCAL_AGGREGATION_TYPE
+    'local_interpolation' interpolates each sub-voxel from its three nearest
+    neighbors; this uses the reference's 'voxel_avg_pool' variant (per-bin
+    mean) which keeps the op a single segment-mean on device.
+    """
+    num_local_voxel: Sequence[int]
+    max_neighbor_distance: float
+    nsample: int
+    post_mlps: Sequence[int]
+    num_reduced_channels: int
+
+    @nn.compact
+    def __call__(self, new_xyz, support_xyz, support_feats, support_valid,
+                 train: bool = False):
+        """BATCHED: (B, K, 3), (B, N, 3), (B, N, C)|None, (B, N) ->
+        (B, K, post_mlps[-1]). Pure gather vmapped; MLPs flat (see SALayer
+        note on BatchNorm under vmap)."""
+        nv = tuple(int(v) for v in self.num_local_voxel)
+        nbins = nv[0] * nv[1] * nv[2]
+        r = float(self.max_neighbor_distance)
+        b, k = new_xyz.shape[:2]
+
+        if support_feats is not None and \
+                support_feats.shape[-1] != self.num_reduced_channels:
+            bs, n, c = support_feats.shape
+            support_feats = nn.Dense(
+                self.num_reduced_channels, use_bias=False, name="reduce")(
+                support_feats.reshape(bs * n, c)).reshape(bs, n, -1)
+
+        def gather(q, sup, v, f=None):
+            idx, valid = ball_query(q, sup, r, int(self.nsample), v)
+            safe = jnp.clip(idx, 0, sup.shape[0] - 1)
+            rel = sup[safe] - q[:, None, :]                 # (K, S, 3)
+            g = rel if f is None else jnp.concatenate([rel, f[safe]], -1)
+            g = jnp.where(valid[..., None], g, 0.0)
+            bin_f = (rel + r) / (2 * r)
+            ib = [jnp.clip((bin_f[..., d] * nv[d]).astype(jnp.int32), 0,
+                           nv[d] - 1) for d in range(3)]
+            bins = (ib[0] * nv[1] + ib[1]) * nv[2] + ib[2]
+            bins = jnp.where(valid, bins, nbins)
+            onehot = jax.nn.one_hot(bins, nbins + 1, dtype=g.dtype)[..., :nbins]
+            sums = jnp.einsum("ksb,ksc->kbc", onehot, g)
+            counts = onehot.sum(axis=1)
+            return sums / jnp.maximum(counts[..., None], 1.0)  # (K, nbins, C)
+
+        if support_feats is None:
+            means = jax.vmap(gather)(new_xyz, support_xyz, support_valid)
+        else:
+            means = jax.vmap(gather)(new_xyz, support_xyz, support_valid,
+                                     support_feats)
+        x = means.reshape(b * k, -1)
+        for i, ch in enumerate(self.post_mlps):
+            x = nn.Dense(int(ch), use_bias=False, name=f"post{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, name=f"post_bn{i}")(x)
+            x = nn.relu(x)
+        return x.reshape(b, k, -1)
+
+
+class VectorPoolAggregationMSG(nn.Module):
+    """VectorPoolAggregationModuleMSG: NUM_GROUPS VectorPool groups
+    concatenated + MSG_POST_MLPS fusion."""
+    group_cfgs: Sequence[dict]
+    msg_post_mlps: Sequence[int]
+    num_reduced_channels: int
+
+    @nn.compact
+    def __call__(self, new_xyz, support_xyz, support_feats, support_valid,
+                 train: bool = False):
+        outs = []
+        for gi, gc in enumerate(self.group_cfgs):
+            ns = int(gc.get("NEIGHBOR_NSAMPLE", -1))
+            outs.append(VectorPoolAggregation(
+                num_local_voxel=tuple(gc["NUM_LOCAL_VOXEL"]),
+                max_neighbor_distance=float(gc["MAX_NEIGHBOR_DISTANCE"]),
+                nsample=ns if ns > 0 else 32,
+                post_mlps=tuple(gc["POST_MLPS"]),
+                num_reduced_channels=self.num_reduced_channels,
+                name=f"group{gi}")(new_xyz, support_xyz, support_feats,
+                                   support_valid, train))
+        x = jnp.concatenate(outs, axis=-1)
+        b, k, c = x.shape
+        x = x.reshape(b * k, c)
+        for i, ch in enumerate(self.msg_post_mlps):
+            x = nn.Dense(int(ch), use_bias=False, name=f"msg_post{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, name=f"msg_bn{i}")(x)
+            x = nn.relu(x)
+        return x.reshape(b, k, -1)
+
+
+def build_sa_layer(sa_cfg, name: str):
+    """SA_LAYER entry -> SALayer (StackSAModuleMSG) or VectorPool MSG."""
+    if sa_cfg.get("NAME", "StackSAModuleMSG") == "VectorPoolAggregationModuleMSG":
+        n_groups = int(sa_cfg["NUM_GROUPS"])
+        groups = [dict(sa_cfg[f"GROUP_CFG_{i}"]) for i in range(n_groups)]
+        return VectorPoolAggregationMSG(
+            group_cfgs=tuple(groups),
+            msg_post_mlps=tuple(sa_cfg.get("MSG_POST_MLPS", ())),
+            num_reduced_channels=int(sa_cfg.get("NUM_REDUCED_CHANNELS", 32)),
+            name=name)
+    return SALayer(tuple(float(r) for r in sa_cfg["POOL_RADIUS"]),
+                   tuple(int(n) for n in sa_cfg["NSAMPLE"]),
+                   tuple(tuple(m) for m in sa_cfg["MLPS"]), name=name)
 
 
 class VoxelSetAbstraction(nn.Module):
@@ -96,14 +226,11 @@ class VoxelSetAbstraction(nn.Module):
 
         if "raw_points" in sources:
             sa_cfg = cfg["SA_LAYER"]["raw_points"]
-            layer = SALayer(tuple(float(r) for r in sa_cfg["POOL_RADIUS"]),
-                            tuple(int(n) for n in sa_cfg["NSAMPLE"]),
-                            tuple(tuple(m) for m in sa_cfg["MLPS"]),
-                            name="sa_raw_points")
-            feats.append(jax.vmap(
-                lambda kp, pts, v: layer(kp, pts[:, :3],
-                                         pts[:, 3:] if pts.shape[-1] > 3 else None,
-                                         v, train))(keypoints, points, points_valid))
+            layer = build_sa_layer(sa_cfg, name="sa_raw_points")
+            feats.append(layer(
+                keypoints, points[..., :3],
+                points[..., 3:] if points.shape[-1] > 3 else None,
+                points_valid, train))
 
         for name in sources:
             if not name.startswith("x_conv"):
@@ -119,17 +246,13 @@ class VoxelSetAbstraction(nn.Module):
                 (st.coords[:, 2].astype(jnp.float32) + 0.5) * vs[1] * ds + pcr[1],
                 (st.coords[:, 1].astype(jnp.float32) + 0.5) * vs[2] * ds + pcr[2],
             ], axis=1)
-            layer = SALayer(tuple(float(r) for r in sa_cfg["POOL_RADIUS"]),
-                            tuple(int(n) for n in sa_cfg["NSAMPLE"]),
-                            tuple(tuple(m) for m in sa_cfg["MLPS"]),
-                            name=f"sa_{name}")
-
-            def one_frame(kp, b):
-                frame_mask = st.mask & (st.coords[:, 0] == b)
-                return layer(kp, centers, st.features, frame_mask, train)
-
-            feats.append(jax.vmap(one_frame)(
-                keypoints, jnp.arange(keypoints.shape[0])))
+            layer = build_sa_layer(sa_cfg, name=f"sa_{name}")
+            bsz = keypoints.shape[0]
+            frame_masks = st.mask[None] & (
+                st.coords[None, :, 0] == jnp.arange(bsz)[:, None])
+            sup = jnp.broadcast_to(centers, (bsz,) + centers.shape)
+            fts = jnp.broadcast_to(st.features, (bsz,) + st.features.shape)
+            feats.append(layer(keypoints, sup, fts, frame_masks, train))
 
         before_fusion = jnp.concatenate(feats, axis=-1)          # (B, K, Ctot)
         b, kk, c = before_fusion.shape

@@ -41,17 +41,12 @@ class PointNet2MSG(nn.Module):
                             tuple(tuple(m) for m in mlps[li]),
                             name=f"sa{li}")
 
-            def one(px, pf, pv):
+            def sample(px, pv):
                 idx = farthest_point_sample(px, npoints[li], pv)
-                new_xyz = px[idx]
-                out = layer(new_xyz, px, pf, pv, train)
-                return new_xyz, out, pv[idx]
+                return px[idx], pv[idx]
 
-            if feats[-1] is None:
-                nx, nf, nv = jax.vmap(
-                    lambda px, pv: one(px, None, pv))(xyz[-1], valid[-1])
-            else:
-                nx, nf, nv = jax.vmap(one)(xyz[-1], feats[-1], valid[-1])
+            nx, nv = jax.vmap(sample)(xyz[-1], valid[-1])
+            nf = layer(nx, xyz[-1], feats[-1], valid[-1], train)
             xyz.append(nx)
             feats.append(nf)
             valid.append(nv)

@@ -87,12 +87,11 @@ class PVRCNNHead(nn.Module):
                         name="roi_grid_pool")
         weighted = keypoint_features * keypoint_scores[..., None]
 
-        def pool_one(frois, kp, kf):
-            grid = roi_grid_points(frois, g).reshape(-1, 3)     # (R*G^3, 3)
-            feats = layer(grid, kp, kf, jnp.ones(kp.shape[0], bool), train)
-            return feats.reshape(frois.shape[0], g ** 3, -1)
-
-        pooled = jax.vmap(pool_one)(rois[..., :7], keypoints, weighted)
+        grids = jax.vmap(lambda frois: roi_grid_points(frois, g)
+                         .reshape(-1, 3))(rois[..., :7])        # (B, R*G^3, 3)
+        ones = jnp.ones(keypoints.shape[:2], bool)
+        feats = layer(grids, keypoints, weighted, ones, train)
+        pooled = feats.reshape(rois.shape[0], rois.shape[1], g ** 3, -1)
         b, r = pooled.shape[:2]
         x = pooled.reshape(b * r, -1)
 

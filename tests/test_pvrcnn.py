@@ -195,3 +195,98 @@ def test_pvrcnn_plusplus_forward_and_loss():
     (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         variables["params"])
     assert np.isfinite(float(loss))
+
+
+def test_vectorpool_aggregation():
+    """VectorPool (PV-RCNN++ SA_LAYER NAME: VectorPoolAggregationModuleMSG):
+    per-bin means of a local sub-voxel grid; empty bins contribute zeros and
+    neighbors bin deterministically by relative position."""
+    import jax
+    import jax.numpy as jnp
+    from seevcn_tpu.models.modules.pfe import (VectorPoolAggregation,
+                                               build_sa_layer)
+    from seevcn_tpu.utils.config import Cfg
+
+    rng = np.random.RandomState(0)
+    support = jnp.asarray(rng.uniform(-2, 2, (2, 200, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 200, 8).astype(np.float32))
+    valid = jnp.ones((2, 200), bool)
+    new_xyz = jnp.asarray(np.array([[[0, 0, 0], [1, 1, 0]],
+                                    [[0.5, 0, 0], [-1, 1, 0]]], np.float32))
+
+    mod = VectorPoolAggregation(num_local_voxel=(2, 2, 2),
+                                max_neighbor_distance=0.5, nsample=32,
+                                post_mlps=(16,), num_reduced_channels=4)
+    variables = mod.init(jax.random.PRNGKey(0), new_xyz, support, feats,
+                         valid)
+    out = mod.apply(variables, new_xyz, support, feats, valid)
+    assert out.shape == (2, 2, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # config-driven MSG build
+    sa_cfg = Cfg({"NAME": "VectorPoolAggregationModuleMSG", "NUM_GROUPS": 2,
+                  "NUM_REDUCED_CHANNELS": 4, "MSG_POST_MLPS": [24],
+                  "GROUP_CFG_0": {"NUM_LOCAL_VOXEL": [2, 2, 2],
+                                  "MAX_NEIGHBOR_DISTANCE": 0.2,
+                                  "NEIGHBOR_NSAMPLE": -1,
+                                  "POST_MLPS": [16, 16]},
+                  "GROUP_CFG_1": {"NUM_LOCAL_VOXEL": [3, 3, 3],
+                                  "MAX_NEIGHBOR_DISTANCE": 0.4,
+                                  "NEIGHBOR_NSAMPLE": -1,
+                                  "POST_MLPS": [16, 16]}})
+    msg = build_sa_layer(sa_cfg, name="sa_test")
+    v2 = msg.init(jax.random.PRNGKey(1), new_xyz, support, feats, valid)
+    out2 = msg.apply(v2, new_xyz, support, feats, valid)
+    assert out2.shape == (2, 2, 24)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_pvrcnn_plusplus_with_vectorpool():
+    """PV-RCNN++ end-to-end with VectorPool SA layers (the reference
+    pv_rcnn_plusplus.yaml aggregation), train forward + loss finite."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _pvrcnn_cfg()
+    cfg.MODEL.NAME = "PVRCNNPlusPlus"
+    cfg.MODEL.PFE["ROI_NEIGHBOR_RADIUS"] = 2.4
+    for src in ("raw_points", "x_conv3", "x_conv4"):
+        if src in cfg.MODEL.PFE["SA_LAYER"]:
+            base = cfg.MODEL.PFE["SA_LAYER"][src]
+            cfg.MODEL.PFE["SA_LAYER"][src] = Cfg({
+                "NAME": "VectorPoolAggregationModuleMSG", "NUM_GROUPS": 1,
+                "NUM_REDUCED_CHANNELS": 4, "MSG_POST_MLPS": [32],
+                "DOWNSAMPLE_FACTOR": base.get("DOWNSAMPLE_FACTOR", 1),
+                "GROUP_CFG_0": {"NUM_LOCAL_VOXEL": [2, 2, 2],
+                                "MAX_NEIGHBOR_DISTANCE": 0.4,
+                                "NEIGHBOR_NSAMPLE": -1, "POST_MLPS": [32]}})
+    model, dcfg = build_detector(cfg)
+    pts, pv, gt = _fake_batch(np.random.RandomState(1), b=2, p=400)
+    variables = jax.jit(lambda p, v: model.init(
+        {"params": jax.random.PRNGKey(0)}, p, v, train=False))(pts, pv)
+    out, _ = jax.jit(lambda v, p, pv2, g: model.apply(
+        v, p, pv2, gt_boxes=g, train=True, rng=jax.random.PRNGKey(1),
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"]))(variables, pts, pv, gt)
+    loss, tb = model.loss(out, gt)
+    assert np.isfinite(float(loss)), tb
+
+
+def test_pvrcnn_jitted_train_step():
+    """Regression: BatchNorm inside jax.vmap leaked tracers under an outer
+    jit, so PV-RCNN could not train through the jitted CLI train step. SA
+    layers are now batched with flat BN."""
+    from seevcn_tpu.train.train import create_train_state, make_train_step
+
+    cfg = _pvrcnn_cfg()
+    model, dcfg = build_detector(cfg)
+    pts, valid, gt = _fake_batch(np.random.RandomState(2), b=2, p=400)
+    variables = jax.jit(lambda p, v: model.init(
+        {"params": jax.random.PRNGKey(0)}, p, v, train=False))(pts, valid)
+    opt = Cfg({"OPTIMIZER": "adam_onecycle", "LR": 1e-3, "WEIGHT_DECAY": 0.01,
+               "MOMS": [0.95, 0.85], "PCT_START": 0.4, "DIV_FACTOR": 10,
+               "GRAD_NORM_CLIP": 10})
+    state = create_train_state(model, variables, opt, total_steps=4)
+    step = make_train_step(model, jit=True, donate=False)
+    state, metrics = step(state, pts, valid, gt, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
