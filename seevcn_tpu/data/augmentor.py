@@ -138,6 +138,9 @@ def augment_frame(rng, points, valid, gt_boxes, gt_mask, aug_list: tuple):
         elif name == "random_local_frustum_dropout":
             points, valid, gt_boxes, gt_mask = random_local_frustum_dropout(
                 r, points, valid, gt_boxes, gt_mask, params[0], params[1])
+        elif name == "random_local_pyramid_aug":
+            points, valid, gt_boxes, gt_mask = random_local_pyramid_aug(
+                r, points, valid, gt_boxes, gt_mask, params)
         else:
             raise NotImplementedError(name)
     return points, valid, gt_boxes, gt_mask
@@ -182,6 +185,11 @@ def aug_list_from_cfg(aug_cfg) -> tuple:
                                tuple(a.get("DIRECTION",
                                            ["top", "bottom", "left",
                                             "right"])))))
+        elif name == "random_local_pyramid_aug":
+            out.append((name, (float(a.get("DROP_PROB", 0.25)),
+                               float(a.get("SPARSIFY_PROB", 0.05)),
+                               int(a.get("SPARSIFY_MAX_NUM", 50)),
+                               float(a.get("SWAP_PROB", 0.1)))))
     return tuple(out)
 
 
@@ -398,4 +406,90 @@ def random_local_frustum_dropout(rng, points, valid, gt_boxes, gt_mask,
         return val, 0
 
     valid, _ = jax.lax.scan(body, valid, (gt_boxes, gt_mask, keys))
+    return points, valid, gt_boxes, gt_mask
+
+
+def _pyramid_membership(points, box):
+    """(P,) face index in [0, 6) + (P,) inside-box mask.
+
+    A face pyramid (apex = box center, base = one face;
+    augmentor_utils.get_pyramids) contains exactly the in-box points whose
+    dominant normalized local axis points at that face — closed form, no
+    convex hulls. Face order: +x, -x, +y, -y, +z, -z.
+    """
+    local = rotate_points_along_z((points[:, :3] - box[:3])[None],
+                                  -box[6][None])[0]
+    u = local / jnp.maximum(box[3:6] / 2, 1e-6)         # normalized [-1, 1]
+    au = jnp.abs(u)
+    inside = (au <= 1.0).all(axis=1)
+    axis = jnp.argmax(au, axis=1)                       # 0=x, 1=y, 2=z
+    pos = jnp.take_along_axis(u, axis[:, None], axis=1)[:, 0] > 0
+    return axis * 2 + jnp.where(pos, 0, 1), inside
+
+
+def random_local_pyramid_aug(rng, points, valid, gt_boxes, gt_mask, params):
+    """local_pyramid_dropout + _sparsify + _swap (augmentor_utils.py:614-760,
+    data_augmentor.py:221-238). Per gt box: with DROP_PROB drop one random
+    face pyramid's points; with SPARSIFY_PROB subsample one pyramid to
+    SPARSIFY_MAX_NUM points; with SWAP_PROB exchange one pyramid's points
+    with a random partner box by preserving normalized box-local
+    coordinates (the reference's ratio remapping expressed in the local
+    frame). Fixed shape: dropped points are invalidated, not removed.
+    """
+    drop_prob, sp_prob, sp_num, swap_prob = (float(params[0]), float(params[1]),
+                                             int(params[2]), float(params[3]))
+    m = gt_boxes.shape[0]
+    k_drop, k_face, k_sp, k_spface, k_rank, k_swap, k_partner, k_swface = \
+        jax.random.split(rng, 8)
+    drop_face = jax.random.randint(k_face, (m,), 0, 6)
+    do_drop = (jax.random.uniform(k_drop, (m,)) <= drop_prob) & gt_mask
+    sp_face = jax.random.randint(k_spface, (m,), 0, 6)
+    do_sp = (jax.random.uniform(k_sp, (m,)) <= sp_prob) & gt_mask & ~do_drop
+    swap_face = jax.random.randint(k_swface, (m,), 0, 6)
+    do_swap = (jax.random.uniform(k_swap, (m,)) <= swap_prob) & gt_mask & \
+        ~do_drop & ~do_sp
+    partner = jax.random.permutation(k_partner, m)
+    rank_key = jax.random.uniform(k_rank, (m, points.shape[0]))
+
+    def body(carry, xs):
+        pts, val = carry
+        box, ok, dface, dd, sface, ds, swface, dsw, pj, rk = xs
+        face, inside = _pyramid_membership(pts, box)
+        # dropout
+        mdrop = inside & (face == dface) & dd & ok
+        val = val & ~mdrop
+        # sparsify: keep sp_num random members
+        msp = inside & (face == sface) & ds & ok & val
+        n_in = msp.sum()
+        order = jnp.where(msp, rk, 2.0)
+        kth = jnp.sort(order)[jnp.minimum(sp_num, points.shape[0] - 1)]
+        kill = msp & (order >= kth) & (n_in > sp_num)
+        val = val & ~kill
+        return (pts, val), (face, inside)
+
+    (points, valid), (faces, insides) = jax.lax.scan(
+        body, (points, valid),
+        (gt_boxes, gt_mask, drop_face, do_drop, sp_face, do_sp,
+         swap_face, do_swap, partner, rank_key))
+
+    # swap: map each swapping box's chosen-pyramid points into the partner
+    # box's frame (normalized local coords preserved); first box wins on
+    # overlap. faces/insides: (M, P) from the scan above.
+    def swap_one(pts, i):
+        box = gt_boxes[i]
+        pj = partner[i]
+        pbox = gt_boxes[pj]
+        ok = do_swap[i] & gt_mask[pj] & (pj != i)
+        msk = insides[i] & (faces[i] == swap_face[i]) & ok & valid
+        local = rotate_points_along_z((pts[:, :3] - box[:3])[None],
+                                      -box[6][None])[0]
+        u = local / jnp.maximum(box[3:6] / 2, 1e-6)
+        new_local = u * pbox[3:6] / 2
+        new_world = rotate_points_along_z(new_local[None],
+                                          pbox[6][None])[0] + pbox[:3]
+        return pts.at[:, :3].set(jnp.where(msk[:, None], new_world,
+                                           pts[:, :3])), None
+
+    points, _ = jax.lax.scan(lambda p, i: swap_one(p, i), points,
+                             jnp.arange(m))
     return points, valid, gt_boxes, gt_mask

@@ -73,6 +73,17 @@ class DatasetTemplate:
             if p.NAME == "shuffle_points":
                 se = p.get("SHUFFLE_ENABLED", {"train": True, "test": False})
                 self._shuffle = bool(se["train"] if training else se["test"])
+            elif p.NAME == "sample_points":
+                # data_processor.py sample_points: cap the per-frame point
+                # budget; our fixed-capacity pad/subsample realizes it
+                n = p.get("NUM_POINTS", None)
+                if isinstance(n, dict):
+                    n = n["train"] if training else n["test"]
+                if n:
+                    self.max_points = min(self.max_points, int(n))
+            # transform_points_to_voxels(_placeholder), mask_points_* and
+            # downsample_depth_map/calculate_grid_size are realized by the
+            # in-jit voxelizer / range mask / CaDDN input pipeline
 
         self.min_points_of_gt = int(dataset_cfg.get("MIN_POINTS_OF_GT", 0) or 0)
         self.shift_coor = dataset_cfg.get("SHIFT_COOR", None)

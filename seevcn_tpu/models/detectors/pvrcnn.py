@@ -16,7 +16,9 @@ import jax.numpy as jnp
 from ...ops import sparse as SP
 from ...ops.voxelize import voxelize_batch
 from ..modules.backbone2d import BaseBEVBackbone
-from ..modules.backbone3d import VoxelBackBone8x, VoxelResBackBone8x
+from ..modules.backbone3d import (VoxelBackBone8x,
+                                  VoxelBackBone8xFocal,
+                                  VoxelResBackBone8x)
 from ..modules.dense_heads import AnchorHeadSingle
 from ..modules.map_to_bev import height_compression
 from ..modules.pfe import VoxelSetAbstraction
@@ -44,7 +46,8 @@ class PVRCNN(nn.Module):
                 int(cfg.grid_size[0]))
         st = SP.make_sparse_tensor(feats, coords, mask, nzyx, points.shape[0])
         backbone = {"VoxelBackBone8x": VoxelBackBone8x,
-                    "VoxelResBackBone8x": VoxelResBackBone8x}[mcfg.BACKBONE_3D.NAME]
+                    "VoxelResBackBone8x": VoxelResBackBone8x,
+                    "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[mcfg.BACKBONE_3D.NAME]
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d")(st, train)
 
@@ -166,7 +169,8 @@ class PVRCNNPlusPlus(nn.Module):
                 int(cfg.grid_size[0]))
         st = SP.make_sparse_tensor(feats, coords, mask, nzyx, points.shape[0])
         backbone = {"VoxelBackBone8x": VoxelBackBone8x,
-                    "VoxelResBackBone8x": VoxelResBackBone8x}[
+                    "VoxelResBackBone8x": VoxelResBackBone8x,
+                    "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[
                         mcfg.BACKBONE_3D.NAME]
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d")(st, train)

@@ -24,7 +24,9 @@ from ...ops.nms import nms_bev
 from ...ops.voxelize import grid_size as compute_grid_size
 from ...ops.voxelize import voxelize_batch
 from ..modules.backbone2d import BaseBEVBackbone
-from ..modules.backbone3d import VoxelBackBone8x, VoxelResBackBone8x
+from ..modules.backbone3d import (VoxelBackBone8x,
+                                  VoxelBackBone8xFocal,
+                                  VoxelResBackBone8x)
 from ..modules.dense_heads import (AnchorHeadLogic, AnchorHeadSingle,
                                    build_anchor_head)
 from ..modules.map_to_bev import height_compression, pillar_scatter
@@ -44,9 +46,11 @@ class DetectorConfig:
         self.point_cloud_range = [float(v) for v in data_cfg.POINT_CLOUD_RANGE]
 
         vox = [p for p in data_cfg.DATA_PROCESSOR
-               if p.NAME == "transform_points_to_voxels"][0]
+               if p.NAME in ("transform_points_to_voxels",
+                             "transform_points_to_voxels_placeholder")][0]
         self.voxel_size = [float(v) for v in vox.VOXEL_SIZE]
-        mv = vox.MAX_NUMBER_OF_VOXELS
+        # placeholder blocks (dynamic-VFE configs) carry no voxel cap
+        mv = vox.get("MAX_NUMBER_OF_VOXELS", 60000)
         self.max_voxels = int(max_voxels or (mv["test"] if isinstance(mv, dict) else mv))
         self.max_points_per_voxel = int(vox.get("MAX_POINTS_PER_VOXEL", 5))
         self.grid_size = compute_grid_size(self.point_cloud_range, self.voxel_size)
@@ -82,7 +86,8 @@ class SECONDNetIoU(nn.Module):
 
         bb_name = mcfg.BACKBONE_3D.NAME
         backbone = {"VoxelBackBone8x": VoxelBackBone8x,
-                    "VoxelResBackBone8x": VoxelResBackBone8x}[bb_name]
+                    "VoxelResBackBone8x": VoxelResBackBone8x,
+                    "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d")(st, train)
 
@@ -108,6 +113,8 @@ class SECONDNetIoU(nn.Module):
                "batch_cls_preds": batch_cls_preds,
                "batch_box_preds": batch_box_preds,
                "spatial_features_2d": bev2d}
+        if "focal_aux" in bb_out:
+            out["focal_aux"] = bb_out["focal_aux"]
 
         # --- rcnn IoU head ---------------------------------------------------
         rcfg = mcfg.ROI_HEAD
@@ -153,7 +160,45 @@ class SECONDNetIoU(nn.Module):
             loss_type=cfg.model_cfg.ROI_HEAD.LOSS_CONFIG.IOU_LOSS,
             weight=float(cfg.model_cfg.ROI_HEAD.LOSS_CONFIG.LOSS_WEIGHTS["rcnn_iou_weight"]))
         tb["rcnn_loss_iou"] = rcnn
-        return rpn_loss + rcnn, tb
+        total = rpn_loss + rcnn
+        if "focal_aux" in out:
+            fl = focal_importance_loss(out["focal_aux"], gt_boxes,
+                                       cfg.point_cloud_range, cfg.voxel_size)
+            tb["loss_box_of_pts"] = fl
+            total = total + fl
+        return total, tb
+
+
+def focal_importance_loss(focal_aux, gt_boxes, pcr, vs):
+    """Box-of-points BCE for FocalSparseConv importances (reference
+    focal_sparse_conv.py loss_box_of_pts): a voxel should be important iff
+    its center lies inside a gt box."""
+    from ...geom.boxes import points_in_boxes
+
+    pcr = jnp.asarray(pcr)
+    vs = jnp.asarray(vs)
+    total = 0.0
+    for aux in focal_aux:
+        imp = jnp.clip(aux["importance"], 1e-6, 1 - 1e-6)
+        coords = aux["coords"]
+        mask = aux["mask"]
+        stride = float(aux["stride"])
+        centers = jnp.stack([
+            (coords[:, 3].astype(jnp.float32) + 0.5) * vs[0] * stride + pcr[0],
+            (coords[:, 2].astype(jnp.float32) + 0.5) * vs[1] * stride + pcr[1],
+            (coords[:, 1].astype(jnp.float32) + 0.5) * vs[2] * stride + pcr[2],
+        ], axis=1)
+        target = jnp.zeros(imp.shape[0], bool)
+        for b in range(gt_boxes.shape[0]):
+            gt_ok = jnp.abs(gt_boxes[b]).sum(axis=1) > 0
+            inside = (points_in_boxes(centers, gt_boxes[b, :, :7]) &
+                      gt_ok[:, None]).any(axis=0)
+            target = jnp.where(coords[:, 0] == b, inside, target)
+        t = target.astype(jnp.float32)
+        bce = -(t * jnp.log(imp) + (1 - t) * jnp.log(1 - imp))
+        w = mask.astype(jnp.float32)
+        total = total + (bce * w).sum() / jnp.maximum(w.sum(), 1.0)
+    return total / max(len(focal_aux), 1)
 
 
 class SECONDNet(nn.Module):
@@ -171,8 +216,12 @@ class SECONDNet(nn.Module):
             max_points_per_voxel=cfg.max_points_per_voxel)
         nzyx = (int(cfg.grid_size[2]) + 1, int(cfg.grid_size[1]), int(cfg.grid_size[0]))
         st = SP.make_sparse_tensor(feats, coords, mask, nzyx, points.shape[0])
-        bb_out = VoxelBackBone8x(input_channels=cfg.num_point_features,
-                                 name="backbone_3d")(st, train)
+        bb_name = mcfg.BACKBONE_3D.get("NAME", "VoxelBackBone8x")
+        backbone = {"VoxelBackBone8x": VoxelBackBone8x,
+                    "VoxelResBackBone8x": VoxelResBackBone8x,
+                    "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
+        bb_out = backbone(input_channels=cfg.num_point_features,
+                          name="backbone_3d")(st, train)
         bev = height_compression(bb_out["encoded_spconv_tensor"])
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
@@ -186,13 +235,24 @@ class SECONDNet(nn.Module):
                                      cfg.class_names,
                                      name="dense_head")(bev2d)
         batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
-        return {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
-                "batch_box_preds": batch_box_preds, "spatial_features_2d": bev2d}
+        out = {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
+               "batch_box_preds": batch_box_preds,
+               "spatial_features_2d": bev2d}
+        if "focal_aux" in bb_out:
+            out["focal_aux"] = bb_out["focal_aux"]
+        return out
 
     def loss(self, out, gt_boxes):
-        logic = self.cfg.head_logic
+        cfg = self.cfg
+        logic = cfg.head_logic
         targets = logic.assign_targets(gt_boxes)
-        return logic.loss(out["head_out"], targets)
+        total, tb = logic.loss(out["head_out"], targets)
+        if "focal_aux" in out:
+            fl = focal_importance_loss(out["focal_aux"], gt_boxes,
+                                       cfg.point_cloud_range, cfg.voxel_size)
+            tb["loss_box_of_pts"] = fl
+            total = total + fl
+        return total, tb
 
 
 class PointPillar(nn.Module):

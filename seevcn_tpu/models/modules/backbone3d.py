@@ -14,7 +14,9 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops import sparse as SP
 from .common import MaskedBatchNorm
@@ -149,4 +151,156 @@ class VoxelResBackBone8x(nn.Module):
             },
             "multi_scale_3d_strides": {"x_conv1": 1, "x_conv2": 2,
                                        "x_conv3": 4, "x_conv4": 8},
+        }
+
+
+class FocalSparseConv(nn.Module):
+    """Focals Conv block (reference focal_sparse_conv/focal_sparse_conv.py:
+    9-169, arXiv:2204.12463), used by VoxelBackBone8xFocal
+    (spconv_backbone_focal.py:101-176).
+
+    A SubM feature conv plus a 27-channel SubM importance conv. The CENTER
+    importance (sigmoid) gates each voxel's features; the TOPK most
+    important voxels dilate — each spawns the neighbor offsets whose
+    predicted offset-importance clears THRESHOLD, carrying the gated parent
+    features scaled by that offset importance. New voxels merge into the
+    active set by sort-dedupe (existing voxels win duplicates), keeping the
+    ascending-key invariant. Fixed shapes: output capacity = input capacity
+    + TOPK * 26.
+
+    Returns (SparseTensor, {"importance", "coords", "mask"}) — the caller
+    adds the box-of-points BCE on the importances (reference
+    loss_box_of_pts).
+    """
+    channels: int
+    topk: int = 128
+    threshold: float = 0.5
+
+    @nn.compact
+    def __call__(self, st: SP.SparseTensor, train: bool = False):
+        cin = st.features.shape[-1]
+        w = self.param("kernel", nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal"), (27, cin, self.channels))
+        out = SP.subm_conv3d(st, w, kernel_size=3, padding=1)
+        feats = MaskedBatchNorm(name="bn")(out.features, out.mask, train)
+        feats = nn.relu(feats)
+
+        w_imp = self.param("kernel_imp", nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal"), (27, cin, 27))
+        imps = SP.subm_conv3d(st, w_imp, kernel_size=3, padding=1).features
+        center_imp = jax.nn.sigmoid(imps[:, 13])            # offset (0,0,0)
+        feats = feats * jnp.where(st.mask, center_imp, 0.0)[:, None]
+
+        # --- dilation: topk foreground voxels spawn thresholded neighbors --
+        nz, ny, nx = st.spatial_shape
+        score = jnp.where(st.mask, center_imp, -1.0)
+        _, top_idx = jax.lax.top_k(score, min(self.topk, score.shape[0]))
+        offs = SP._offsets((3, 3, 3))                       # (27, 3)
+        noncenter = jnp.concatenate([jnp.arange(13), jnp.arange(14, 27)])
+        p_coords = st.coords[top_idx]                        # (K, 4)
+        p_feats = feats[top_idx]                             # (K, C)
+        p_imps = jax.nn.sigmoid(imps[top_idx][:, noncenter]) # (K, 26)
+        p_ok = st.mask[top_idx] & (score[top_idx] > float(self.threshold))
+        n_zyx = p_coords[:, None, 1:4] + offs[noncenter][None]     # (K, 26, 3)
+        dims = jnp.asarray([nz, ny, nx], jnp.int32)
+        inb = jnp.all((n_zyx >= 0) & (n_zyx < dims), axis=-1)
+        cand_ok = inb & p_ok[:, None] & (p_imps > float(self.threshold))
+        ckey = ((p_coords[:, 0:1] * nz + n_zyx[..., 0]) * ny + n_zyx[..., 1]) \
+            * nx + n_zyx[..., 2]
+        big = jnp.int32(np.iinfo(np.int32).max)
+        # drop candidates already active (existing voxels win)
+        in_keys = SP.linear_key(st.coords, st.spatial_shape, st.mask)
+        _, exists = SP._lookup(in_keys, ckey.reshape(-1).astype(jnp.int32))
+        cand_ok = cand_ok & ~exists.reshape(cand_ok.shape)
+        ckey = jnp.where(cand_ok, ckey.astype(jnp.int32), big).reshape(-1)
+        cand_feats = (p_feats[:, None, :] * p_imps[..., None]).reshape(
+            ckey.shape[0], -1)
+
+        extra = p_coords.shape[0] * 26
+        order = jnp.argsort(ckey)
+        skey = ckey[order]
+        head = jnp.concatenate([jnp.ones((1,), bool),
+                                skey[1:] != skey[:-1]]) & (skey < big)
+        rank = jnp.cumsum(head) - 1
+        rank_w = jnp.where(head, jnp.minimum(rank, extra), extra)
+        new_keys = jnp.full((extra + 1,), big, jnp.int32).at[rank_w].min(skey)
+        new_feats = jnp.zeros((extra + 1, feats.shape[-1]), feats.dtype) \
+            .at[rank_w].set(cand_feats[order])
+        new_keys, new_feats = new_keys[:extra], new_feats[:extra]
+        new_mask = new_keys < big
+        kk = jnp.where(new_mask, new_keys, 0)
+        nxc = kk % nx
+        rem = kk // nx
+        nyc = rem % ny
+        rem = rem // ny
+        nzc = rem % nz
+        nbc = rem // nz
+        new_coords = jnp.stack([nbc, nzc, nyc, nxc], axis=1).astype(jnp.int32)
+
+        # --- merge + global re-sort (keys disjoint by construction) --------
+        all_keys = jnp.concatenate([in_keys, new_keys])
+        all_feats = jnp.concatenate([feats, new_feats])
+        all_coords = jnp.concatenate([st.coords, new_coords])
+        all_mask = jnp.concatenate([st.mask, new_mask])
+        perm = jnp.argsort(all_keys)
+        merged = SP.SparseTensor(all_feats[perm], all_coords[perm],
+                                 all_mask[perm], st.spatial_shape,
+                                 st.batch_size)
+        aux = {"importance": center_imp, "coords": st.coords, "mask": st.mask}
+        return merged, aux
+
+
+class VoxelBackBone8xFocal(nn.Module):
+    """VoxelBackBone8x with FocalSparseConv blocks after stages 1-3
+    (spconv_backbone_focal.py:101-176; SPECIAL_CONV_LIST there)."""
+    input_channels: int = 4
+    capacities: Sequence[int] | None = None
+    topk: int = 128
+    threshold: float = 0.5
+
+    @nn.compact
+    def __call__(self, st: SP.SparseTensor, train: bool = False):
+        cap = self.capacities or [st.features.shape[0]] * 4
+        focal_aux = []
+
+        x = SpConvLayer(16, subm=True, padding=1, name="conv_input")(st, train)
+        x, aux = FocalSparseConv(16, topk=self.topk, threshold=self.threshold,
+                                 name="focal1")(x, train)
+        focal_aux.append({**aux, "stride": 1})
+        x_conv1 = SpConvLayer(16, subm=True, padding=1, name="conv1_0")(x, train)
+
+        x = SpConvLayer(32, subm=False, stride=2, padding=1,
+                        out_capacity=cap[0], name="conv2_down")(x_conv1, train)
+        x = SpConvLayer(32, subm=True, padding=1, name="conv2_0")(x, train)
+        x, aux = FocalSparseConv(32, topk=self.topk, threshold=self.threshold,
+                                 name="focal2")(x, train)
+        focal_aux.append({**aux, "stride": 2})
+        x_conv2 = SpConvLayer(32, subm=True, padding=1, name="conv2_1")(x, train)
+
+        x = SpConvLayer(64, subm=False, stride=2, padding=1,
+                        out_capacity=cap[1], name="conv3_down")(x_conv2, train)
+        x = SpConvLayer(64, subm=True, padding=1, name="conv3_0")(x, train)
+        x, aux = FocalSparseConv(64, topk=self.topk, threshold=self.threshold,
+                                 name="focal3")(x, train)
+        focal_aux.append({**aux, "stride": 4})
+        x_conv3 = SpConvLayer(64, subm=True, padding=1, name="conv3_1")(x, train)
+
+        x = SpConvLayer(64, subm=False, stride=2, padding=(0, 1, 1),
+                        out_capacity=cap[2], name="conv4_down")(x_conv3, train)
+        x = SpConvLayer(64, subm=True, padding=1, name="conv4_0")(x, train)
+        x_conv4 = SpConvLayer(64, subm=True, padding=1, name="conv4_1")(x, train)
+
+        out = SpConvLayer(128, subm=False, kernel_size=(3, 1, 1), stride=(2, 1, 1),
+                          padding=0, out_capacity=cap[3], name="conv_out")(x_conv4, train)
+
+        return {
+            "encoded_spconv_tensor": out,
+            "encoded_spconv_tensor_stride": 8,
+            "multi_scale_3d_features": {
+                "x_conv1": x_conv1, "x_conv2": x_conv2,
+                "x_conv3": x_conv3, "x_conv4": x_conv4,
+            },
+            "multi_scale_3d_strides": {"x_conv1": 1, "x_conv2": 2,
+                                       "x_conv3": 4, "x_conv4": 8},
+            "focal_aux": focal_aux,
         }

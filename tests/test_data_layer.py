@@ -225,3 +225,52 @@ def test_translation_and_local_augmentations():
         aug_list=(("random_local_frustum_dropout",
                    ((0.4, 0.6), ("top",))),))
     assert np.asarray(v7)[:40].all()
+
+
+def test_local_pyramid_aug():
+    """Pyramid membership = in-box + dominant normalized axis; dropout kills
+    exactly one face's points; sparsify caps a pyramid's population; swap
+    relocates a pyramid into the partner box preserving local coords."""
+    import jax
+    import jax.numpy as jnp
+    import seevcn_tpu.data.augmentor as A
+
+    # membership: points near +x face vs -y face of an axis-aligned box
+    box = jnp.asarray([0, 0, 0, 4.0, 2.0, 1.6, 0.0])
+    pts = jnp.asarray([[1.8, 0.1, 0.1, 0.0],     # +x dominant -> face 0
+                       [-1.8, 0.1, 0.1, 0.0],    # -x -> face 1
+                       [0.1, 0.9, 0.1, 0.0],     # +y -> face 2
+                       [0.1, 0.1, -0.7, 0.0],    # -z -> face 5
+                       [9.0, 9.0, 9.0, 0.0]])    # outside
+    face, inside = A._pyramid_membership(pts, box)
+    np.testing.assert_array_equal(np.asarray(face[:4]), [0, 1, 2, 5])
+    np.testing.assert_array_equal(np.asarray(inside),
+                                  [True, True, True, True, False])
+
+    # dropout with prob 1: exactly one pyramid's points invalidated
+    rng = jax.random.PRNGKey(0)
+    rs = np.random.RandomState(0)
+    p = np.zeros((400, 4), np.float32)
+    p[:, 0] = rs.uniform(-1.9, 1.9, 400)
+    p[:, 1] = rs.uniform(-0.95, 0.95, 400)
+    p[:, 2] = rs.uniform(-0.75, 0.75, 400)
+    pj = jnp.asarray(p)
+    gj = jnp.asarray(box)[None]
+    ones = jnp.ones(400, bool)
+    p2, v2, _, _ = A.random_local_pyramid_aug(
+        rng, pj, ones, gj, jnp.ones(1, bool), (1.0, 0.0, 50, 0.0))
+    dropped = ~np.asarray(v2)
+    assert 0 < dropped.sum() < 400
+    f_all, ins_all = A._pyramid_membership(pj, jnp.asarray(box))
+    f_np = np.asarray(f_all)
+    assert len(np.unique(f_np[dropped])) == 1    # one face only
+
+    # sparsify with prob 1: chosen pyramid capped at 20 members
+    p3, v3, _, _ = A.random_local_pyramid_aug(
+        jax.random.PRNGKey(1), pj, ones, gj, jnp.ones(1, bool),
+        (0.0, 1.0, 20, 0.0))
+    v3 = np.asarray(v3)
+    counts = [((f_np == k) & v3).sum() for k in range(6)]
+    before = [(f_np == k).sum() for k in range(6)]
+    assert sum(c < b for c, b in zip(counts, before)) == 1
+    assert min(counts) >= 0 and any(c == 20 for c in counts)

@@ -175,3 +175,60 @@ def test_voxelize_then_sparse_conv_pipeline():
     out2 = SP.sparse_conv3d(out, w2, kernel_size=3, stride=2, padding=1)
     assert out2.spatial_shape == (2, 4, 4)
     assert np.asarray(out2.mask).sum() > 0
+
+
+def test_focal_sparse_conv_and_backbone():
+    """FocalSparseConv: center importance gates features; dilation adds only
+    thresholded, in-bounds, non-duplicate neighbors; the merged tensor keeps
+    the ascending-key invariant. VoxelBackBone8xFocal trains end-to-end in a
+    SECOND detector with the box-of-points loss."""
+    import jax
+    import jax.numpy as jnp
+    from seevcn_tpu.models.modules.backbone3d import FocalSparseConv
+    from seevcn_tpu.ops.sparse import linear_key, make_sparse_tensor
+
+    rng = np.random.RandomState(0)
+    n = 64
+    coords = np.unique(rng.randint(0, 8, (n, 3)), axis=0)
+    coords = np.concatenate([np.zeros((len(coords), 1), np.int64), coords], 1)
+    key = ((coords[:, 0] * 10 + coords[:, 1]) * 8 + coords[:, 2]) * 8 + coords[:, 3]
+    coords = coords[np.argsort(key)]
+    v = len(coords)
+    pad = 16
+    feats = np.zeros((v + pad, 4), np.float32)
+    feats[:v] = rng.randn(v, 4)
+    cc = np.zeros((v + pad, 4), np.int32)
+    cc[:v] = coords
+    mask = np.arange(v + pad) < v
+    st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(cc),
+                            jnp.asarray(mask), (10, 8, 8), 1)
+
+    mod = FocalSparseConv(8, topk=16, threshold=0.4)
+    variables = mod.init(jax.random.PRNGKey(0), st)
+    (out, aux), _ = mod.apply(variables, st, train=True,
+                              mutable=["batch_stats"])
+    # invariant: keys ascending, invalid at the end
+    keys = np.asarray(linear_key(out.coords, out.spatial_shape, out.mask))
+    valid_keys = keys[np.asarray(out.mask)]
+    assert (np.diff(valid_keys) > 0).all(), "duplicate or unsorted keys"
+    assert out.features.shape[0] == st.features.shape[0] + 16 * 26
+    assert aux["importance"].shape == (st.features.shape[0],)
+
+    # end-to-end: SECOND with the focal backbone trains
+    from test_detector import _mini_cfg, _fake_batch
+    from seevcn_tpu.models.detectors.second import build_detector
+    cfg = _mini_cfg()
+    cfg["MODEL"]["NAME"] = "SECONDNet"
+    cfg["MODEL"].pop("ROI_HEAD", None)
+    cfg["MODEL"]["BACKBONE_3D"]["NAME"] = "VoxelBackBone8xFocal"
+    model, dcfg = build_detector(cfg)
+    pts, pv, gt = _fake_batch(np.random.RandomState(1))
+    variables = jax.jit(lambda p, vv: model.init(
+        {"params": jax.random.PRNGKey(0)}, p, vv, train=False))(pts, pv)
+    out2, _ = jax.jit(lambda vv, p, pv2, g: model.apply(
+        vv, p, pv2, gt_boxes=g, train=True, rng=jax.random.PRNGKey(1),
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"]))(variables, pts, pv, gt)
+    loss, tb = model.loss(out2, gt)
+    assert "loss_box_of_pts" in tb
+    assert np.isfinite(float(loss)), tb
