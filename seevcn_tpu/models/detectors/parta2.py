@@ -25,7 +25,7 @@ from ..losses import binary_cross_entropy_with_logits
 from ..modules.backbone2d import BaseBEVBackbone
 from ..modules.dense_heads import AnchorHeadSingle
 from ..modules.map_to_bev import height_compression
-from ..modules.pfe import SALayer
+
 from ..modules.pvrcnn_head import decode_rcnn_boxes, pvrcnn_rcnn_loss
 from ..modules.roi_heads import proposal_layer, sample_rois_for_rcnn
 from ..modules.unet3d import UNetV2
@@ -108,22 +108,26 @@ class PartA2(nn.Module):
             pooled_feats = jax.lax.stop_gradient(pooled_feats)
         g = int(rcfg.ROI_GRID_POOL.get("GRID_SIZE", 12)) if "ROI_GRID_POOL" in \
             rcfg else 12
-        pool_radius = float(rcfg.get("POOL_RADIUS", 0.4))
-        layer = SALayer((pool_radius, 2 * pool_radius), (8, 8),
-                        (tuple(rcfg.get("POOL_MLP", [32, 32])),) * 2,
-                        name="roiaware_pool")
-
-        from ..modules.pvrcnn_head import roi_grid_points
+        # exact roiaware pooling (ops/roiaware.py; reference
+        # roiaware_pool3d_kernel.cu): part/seg features avg-pooled, point
+        # features max-pooled per grid cell — part_a2_head.py's
+        # roiaware_pool3d_layer usage.
+        from ...ops.roiaware import roiaware_pool3d_batch
 
         bsz = rois.shape[0]
-        grids = jax.vmap(lambda frois: roi_grid_points(frois, g)
-                         .reshape(-1, 3))(rois[..., :7])
         frame_masks = pf.mask[None] & (
             pf.coords[None, :, 0] == jnp.arange(bsz)[:, None])
         sup = jnp.broadcast_to(centers, (bsz,) + centers.shape)
-        fts = jnp.broadcast_to(pooled_feats, (bsz,) + pooled_feats.shape)
-        o = layer(grids, sup, fts, frame_masks, train)
-        pooled = o.reshape(bsz, rois.shape[1], g ** 3, -1)
+        part_seg = pooled_feats[:, :4]
+        sem = pooled_feats[:, 4:]
+        pooled_part = roiaware_pool3d_batch(
+            rois[..., :7], sup, jnp.broadcast_to(part_seg,
+                                                 (bsz,) + part_seg.shape),
+            frame_masks, grid_size=g, method="avg")
+        pooled_sem = roiaware_pool3d_batch(
+            rois[..., :7], sup, jnp.broadcast_to(sem, (bsz,) + sem.shape),
+            frame_masks, grid_size=g, method="max")
+        pooled = jnp.concatenate([pooled_part, pooled_sem], axis=-1)
         b, r = pooled.shape[:2]
         x = pooled.reshape(b * r, -1)
 

@@ -66,3 +66,43 @@ def test_parta2_forward_and_loss():
     g = jax.tree_util.tree_reduce(lambda a, x: a + float(jnp.abs(x).sum()),
                                   grads, 0.0)
     assert g > 0
+
+
+def test_roiaware_pool3d_exact():
+    """Each in-box point lands in exactly its grid cell; max/avg pooled;
+    out-of-box and invalid points ignored (reference roiaware_pool3d)."""
+    import jax.numpy as jnp
+    from seevcn_tpu.ops.roiaware import roiaware_pool3d
+
+    # axis-aligned box at origin, G=2: cell index = (x>0, y>0, z>0)
+    rois = jnp.asarray([[0, 0, 0, 4.0, 2.0, 1.6, 0.0]])
+    xyz = jnp.asarray([[-1.0, -0.5, -0.4],   # cell (0,0,0) -> flat 0
+                       [1.0, 0.5, 0.4],      # cell (1,1,1) -> flat 7
+                       [1.0, -0.5, 0.4],     # cell (1,0,1) -> flat 5
+                       [9.0, 9.0, 9.0],      # outside
+                       [-1.0, -0.5, -0.4]])  # cell 0 again (for max/avg)
+    feats = jnp.asarray([[1.0], [2.0], [3.0], [99.0], [5.0]])
+    valid = jnp.asarray([True, True, True, True, False])
+
+    mx = np.asarray(roiaware_pool3d(rois, xyz, feats, valid, grid_size=2,
+                                    method="max"))[0]
+    assert mx[0, 0] == 1.0          # invalid 5.0 ignored
+    assert mx[7, 0] == 2.0
+    assert mx[5, 0] == 3.0
+    assert mx[1, 0] == 0.0          # empty cell -> 0
+    assert (mx != 99.0).all()       # outside point never pooled
+
+    valid2 = jnp.asarray([True, True, True, True, True])
+    av = np.asarray(roiaware_pool3d(rois, xyz, feats, valid2, grid_size=2,
+                                    method="avg"))[0]
+    np.testing.assert_allclose(av[0, 0], 3.0)   # mean(1, 5)
+
+    # rotated box: point ahead of the box center along heading lands in +x cells
+    rois_r = jnp.asarray([[0, 0, 0, 4.0, 2.0, 1.6, np.pi / 2]])
+    xyz_r = jnp.asarray([[0.0, 1.5, 0.0]])      # +y world == +x local
+    f_r = jnp.asarray([[7.0]])
+    out_r = np.asarray(roiaware_pool3d(rois_r, xyz_r, f_r,
+                                       jnp.ones(1, bool), grid_size=2,
+                                       method="max"))[0]
+    assert out_r[:, 0].max() == 7.0
+    assert np.flatnonzero(out_r[:, 0])[0] >= 4  # x_idx == 1 half (flat >= G^2)
