@@ -235,9 +235,18 @@ class WaymoDataset(_InfosDataset):
         pc = info["point_cloud"]
         seq = pc["lidar_sequence"]
         sample = pc["sample_idx"]
+        # shared-memory cache across loader workers (waymo_dataset.py:77-105)
+        if self.dataset_cfg.get("USE_SHARED_MEMORY", False):
+            from ..utils.shm_cache import sa_attach, sa_create, sa_exists
+
+            tag = f"{seq}__{sample}"
+            if sa_exists(tag):
+                return sa_attach(tag)[:, :4].astype(np.float32)
         path = os.path.join(self.root_path, "waymo_processed_data", seq,
                             f"{sample:04d}.npy")
         pts = np.load(path)
+        if self.dataset_cfg.get("USE_SHARED_MEMORY", False):
+            sa_create(f"{seq}__{sample}", pts)
         return pts[:, :4].astype(np.float32)
 
     def evaluation(self, det_annos, class_names, **kw):

@@ -274,3 +274,66 @@ def test_local_pyramid_aug():
     before = [(f_np == k).sum() for k in range(6)]
     assert sum(c < b for c, b in zip(counts, before)) == 1
     assert min(counts) >= 0 and any(c == 20 for c in counts)
+
+
+def test_shm_cache_roundtrip():
+    """SharedArray-equivalent (reference sa_create/attach): create, attach
+    from the same process, mutate through the view, delete."""
+    from seevcn_tpu.utils.shm_cache import (sa_attach, sa_create, sa_delete,
+                                            sa_exists)
+
+    rs = np.random.RandomState(0)
+    arr = rs.randn(100, 5).astype(np.float32)
+    name = "shm://test_pts_0001"
+    v = sa_create(name, arr)
+    assert sa_exists(name)
+    np.testing.assert_array_equal(v, arr)
+    a = sa_attach(name)
+    np.testing.assert_array_equal(a, arr)
+    a[0, 0] = 42.0                       # shared: visible through both views
+    assert v[0, 0] == 42.0
+    # long names are hashed into valid segment names
+    long = "shm://waymo_processed_data/segment-1234567890_with_a_long_tag__17"
+    sa_create(long, arr[:10])
+    assert sa_exists(long)
+    np.testing.assert_array_equal(sa_attach(long), arr[:10])
+    sa_delete(long)
+    sa_delete(name)
+    assert not sa_exists(name)
+
+
+def test_waymo_shared_memory_cache(tmp_path):
+    """WaymoDataset USE_SHARED_MEMORY: second access comes from the cache."""
+    import pickle
+    from seevcn_tpu.data.generic import WaymoDataset
+    from seevcn_tpu.utils.config import Cfg
+    from seevcn_tpu.utils.shm_cache import sa_delete, sa_exists
+
+    rs = np.random.RandomState(1)
+    seq = "segment-777"
+    d = tmp_path / "waymo_processed_data" / seq
+    d.mkdir(parents=True)
+    pts = rs.randn(300, 6).astype(np.float32)
+    np.save(d / "0000.npy", pts)
+    infos = [{"point_cloud": {"lidar_sequence": seq, "sample_idx": 0},
+              "annos": {"name": np.array(["Vehicle"]),
+                        "gt_boxes_lidar": np.zeros((1, 7))}}]
+    with open(tmp_path / "waymo_infos.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    cfg = Cfg({"DATASET": "WaymoDataset", "DATA_PATH": str(tmp_path),
+               "USE_SHARED_MEMORY": True,
+               "INFO_PATH": {"test": ["waymo_infos.pkl"]},
+               "POINT_CLOUD_RANGE": [-10, -10, -3, 10, 10, 2],
+               "POINT_FEATURE_ENCODING": {
+                   "encoding_type": "absolute_coordinates_encoding",
+                   "used_feature_list": ["x", "y", "z"],
+                   "src_feature_list": ["x", "y", "z"]},
+               "DATA_PROCESSOR": []})
+    ds = WaymoDataset(cfg, ["Vehicle"], training=False, max_points=64)
+    p1 = ds.get_lidar(infos[0])
+    assert sa_exists(f"{seq}__0")
+    # delete the backing file: the cache must serve the second read
+    (d / "0000.npy").unlink()
+    p2 = ds.get_lidar(infos[0])
+    np.testing.assert_array_equal(p1, p2)
+    sa_delete(f"{seq}__0")
