@@ -33,6 +33,7 @@ from ..modules.map_to_bev import height_compression, pillar_scatter
 from ..modules.roi_heads import (SECONDHead, proposal_layer, rcnn_iou_loss,
                                  roi_grid_pool_bev, sample_rois_for_rcnn)
 from ..modules.vfe import DynamicPillarVFE
+from ...parallel.mesh import constrain_bev
 
 
 class DetectorConfig:
@@ -92,7 +93,7 @@ class SECONDNetIoU(nn.Module):
                           name="backbone_3d")(st, train)
 
         # --- BEV ------------------------------------------------------------
-        bev = height_compression(bb_out["encoded_spconv_tensor"])
+        bev = constrain_bev(height_compression(bb_out["encoded_spconv_tensor"]))
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
             layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
@@ -100,6 +101,7 @@ class SECONDNetIoU(nn.Module):
             upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", ())),
             num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
             name="backbone_2d")(bev, train)
+        bev2d = constrain_bev(bev2d)
 
         # --- dense head -------------------------------------------------------
         logic = cfg.head_logic
@@ -222,7 +224,7 @@ class SECONDNet(nn.Module):
                     "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d")(st, train)
-        bev = height_compression(bb_out["encoded_spconv_tensor"])
+        bev = constrain_bev(height_compression(bb_out["encoded_spconv_tensor"]))
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
             layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
@@ -230,6 +232,7 @@ class SECONDNet(nn.Module):
             upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", ())),
             num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
             name="backbone_2d")(bev, train)
+        bev2d = constrain_bev(bev2d)
         logic = cfg.head_logic
         head_out = build_anchor_head(mcfg.DENSE_HEAD, logic, cfg.num_class,
                                      cfg.class_names,

@@ -41,3 +41,37 @@ def shard_batch(mesh: Mesh, tree):
     """Place a host pytree with the batch axis sharded over dp."""
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+# --- BEV spatial ('mp') sharding --------------------------------------------
+# The reference is DDP-only; on TPU we can additionally split a single
+# frame's BEV grid across chips: annotate the (B, H, W, C) activations with
+# W sharded over 'mp' and let XLA's SPMD partitioner insert the conv halo
+# exchanges. Constraints are applied inside the jitted model through the
+# active-mesh holder below (set at trace time by shard_train_step).
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_active_mesh(mesh: Mesh | None):
+    """Set the mesh used by constrain_bev (returns the previous one)."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    return prev
+
+
+def constrain_bev(x):
+    """Shard a (B, H, W, C) BEV activation: batch over 'dp', W over 'mp'.
+
+    No-op without an active mesh or with mp == 1, so single-chip paths and
+    tests are untouched. W must be divisible by the mp size at every BEV
+    stage (reference grids are powers of two)."""
+    if _ACTIVE_MESH is None or dict(
+            zip(_ACTIVE_MESH.axis_names, _ACTIVE_MESH.devices.shape)).get(
+            "mp", 1) == 1:
+        return x
+    if x.ndim != 4:
+        return x
+    spec = P("dp", None, "mp", None)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_ACTIVE_MESH, spec))

@@ -69,11 +69,23 @@ def make_train_step(model, jit: bool = True, donate: bool = True):
 
 
 def shard_train_step(model, mesh=None):
-    """Sharded train step: batch over 'dp', state replicated. The gradient
-    psum (DDP allreduce equivalent) is inserted by XLA."""
+    """Sharded train step: batch over 'dp', state replicated, BEV spatial
+    axis over 'mp' (constrain_bev inside the model; XLA inserts the conv
+    halo exchanges). The gradient psum (DDP allreduce equivalent) is
+    inserted by XLA."""
+    from ..parallel.mesh import set_active_mesh
+
     mesh = mesh or make_mesh()
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     raw = make_train_step(model, jit=False)
-    return jax.jit(raw, in_shardings=(rep, bsh, bsh, bsh, rep),
+
+    def with_mesh(*args):
+        prev = set_active_mesh(mesh)
+        try:
+            return raw(*args)
+        finally:
+            set_active_mesh(prev)
+
+    return jax.jit(with_mesh, in_shardings=(rep, bsh, bsh, bsh, rep),
                    out_shardings=(rep, rep)), mesh
