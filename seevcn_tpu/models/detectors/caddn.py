@@ -135,7 +135,7 @@ class CaDDN(nn.Module):
             num_class=cfg.num_class,
             num_anchors_per_location=logic.num_anchors_per_location,
             code_size=logic.box_coder.code_size,
-            num_dir_bins=logic.num_dir_bins, name="dense_head")(bev2d)
+            num_dir_bins=logic.num_dir_bins, name="dense_head")(bev2d, train)
         batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
         return {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
                 "batch_box_preds": batch_box_preds,

@@ -107,7 +107,7 @@ class SECONDNetIoU(nn.Module):
         logic = cfg.head_logic
         head_out = build_anchor_head(mcfg.DENSE_HEAD, logic, cfg.num_class,
                                      cfg.class_names,
-                                     name="dense_head")(bev2d)
+                                     name="dense_head")(bev2d, train)
 
         batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
 
@@ -236,7 +236,7 @@ class SECONDNet(nn.Module):
         logic = cfg.head_logic
         head_out = build_anchor_head(mcfg.DENSE_HEAD, logic, cfg.num_class,
                                      cfg.class_names,
-                                     name="dense_head")(bev2d)
+                                     name="dense_head")(bev2d, train)
         batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
         out = {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
                "batch_box_preds": batch_box_preds,
@@ -312,7 +312,7 @@ class PointPillar(nn.Module):
         logic = cfg.head_logic
         head_out = build_anchor_head(mcfg.DENSE_HEAD, logic, cfg.num_class,
                                      cfg.class_names,
-                                     name="dense_head")(bev2d)
+                                     name="dense_head")(bev2d, train)
         batch_cls_preds, batch_box_preds = logic.predict_boxes(head_out)
         return {"head_out": head_out, "batch_cls_preds": batch_cls_preds,
                 "batch_box_preds": batch_box_preds, "spatial_features_2d": bev2d}

@@ -31,7 +31,7 @@ class AnchorHeadSingle(nn.Module):
     num_dir_bins: int = 0  # 0 = no direction classifier
 
     @nn.compact
-    def __call__(self, bev: jax.Array):
+    def __call__(self, bev: jax.Array, train: bool = False):
         a, c = self.num_anchors_per_location, self.num_class
         cls_preds = nn.Conv(a * c, (1, 1), name="conv_cls")(bev)
         box_preds = nn.Conv(a * self.code_size, (1, 1), name="conv_box")(bev)
@@ -194,11 +194,15 @@ class AnchorHeadMulti(nn.Module):
     shared_conv_channels: int = 64
 
     @nn.compact
-    def __call__(self, bev: jax.Array):
+    def __call__(self, bev: jax.Array, train: bool = False):
         x = bev
         if self.shared_conv_channels:
-            x = nn.relu(nn.Conv(self.shared_conv_channels, (3, 3),
-                                name="shared_conv")(x))
+            # reference: Conv2d(bias=False) + BN(eps 1e-3, mom 0.01) + ReLU
+            x = nn.Conv(self.shared_conv_channels, (3, 3), use_bias=False,
+                        name="shared_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, name="shared_bn")(x)
+            x = nn.relu(x)
         b, h, w, _ = x.shape
         neg = jnp.float32(-1e4)
         cls_parts, box_parts, dir_parts = [], [], []

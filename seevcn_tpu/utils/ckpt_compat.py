@@ -293,6 +293,28 @@ def dense_head_from_torch(sd: dict, prefix: str = "dense_head"):
     return params
 
 
+def multi_dense_head_from_torch(sd: dict, prefix: str = "dense_head"):
+    """AnchorHeadMulti (anchor_head_multi.py): dense_head.shared_conv.{0,1}
+    (conv+BN) + dense_head.rpn_heads.{i}.conv_{cls,box,dir_cls}."""
+    params, stats = {}, {}
+    if f"{prefix}.shared_conv.0.weight" in sd:
+        params["shared_conv"] = conv2d_to_conv(sd, f"{prefix}.shared_conv.0",
+                                               has_bias=False)
+        bnp, bns = bn_split(sd, f"{prefix}.shared_conv.1")
+        params["shared_bn"], stats["shared_bn"] = bnp, bns
+    gi = 0
+    while f"{prefix}.rpn_heads.{gi}.conv_cls.weight" in sd:
+        params[f"head{gi}_conv_cls"] = conv2d_to_conv(
+            sd, f"{prefix}.rpn_heads.{gi}.conv_cls")
+        params[f"head{gi}_conv_box"] = conv2d_to_conv(
+            sd, f"{prefix}.rpn_heads.{gi}.conv_box")
+        if f"{prefix}.rpn_heads.{gi}.conv_dir_cls.weight" in sd:
+            params[f"head{gi}_conv_dir_cls"] = conv2d_to_conv(
+                sd, f"{prefix}.rpn_heads.{gi}.conv_dir_cls")
+        gi += 1
+    return params, stats
+
+
 def second_roi_head_from_torch(sd: dict, prefix: str = "roi_head"):
     params, stats = {}, {}
     shared = _seq_conv_bn_pairs(sd, f"{prefix}.shared_fc_layer")
@@ -322,7 +344,13 @@ def detector_variables_from_torch(state_dict, model_name: str = "SECONDNetIoU") 
     params["backbone_3d"], stats["backbone_3d"] = bb_p, bb_s
     b2_p, b2_s = bev_backbone_from_torch(sd)
     params["backbone_2d"], stats["backbone_2d"] = b2_p, b2_s
-    params["dense_head"] = dense_head_from_torch(sd)
+    if "dense_head.rpn_heads.0.conv_cls.weight" in sd:
+        dh_p, dh_s = multi_dense_head_from_torch(sd)
+        params["dense_head"] = dh_p
+        if dh_s:
+            stats["dense_head"] = dh_s
+    else:
+        params["dense_head"] = dense_head_from_torch(sd)
     if model_name == "SECONDNetIoU":
         r_p, r_s = second_roi_head_from_torch(sd)
         params["roi_head"], stats["roi_head"] = r_p, r_s
@@ -473,6 +501,23 @@ def detector_state_dict_from_variables(variables: dict,
     for name in ("conv_cls", "conv_box", "conv_dir_cls"):
         if name in p["dense_head"]:
             put(f"dense_head.{name}", _conv_to_conv2d(p["dense_head"][name]))
+    if "head0_conv_cls" in p["dense_head"]:       # AnchorHeadMulti layout
+        dh = p["dense_head"]
+        if "shared_conv" in dh:
+            sd[f"dense_head.shared_conv.0.weight"] = \
+                _conv_to_conv2d(dh["shared_conv"])["weight"]
+            put("dense_head.shared_conv.1",
+                _bn_join(dh["shared_bn"],
+                         s.get("dense_head", {}).get("shared_bn",
+                                                     {"mean": 0, "var": 1})))
+        gi = 0
+        while f"head{gi}_conv_cls" in dh:
+            for nm in ("conv_cls", "conv_box", "conv_dir_cls"):
+                key = f"head{gi}_{nm}"
+                if key in dh:
+                    put(f"dense_head.rpn_heads.{gi}.{nm}",
+                        _conv_to_conv2d(dh[key]))
+            gi += 1
 
     # roi head (SECONDHead)
     if "roi_head" in p:

@@ -146,3 +146,49 @@ def test_pth_detector_roundtrip(tmp_path):
     # spconv 2.x (out,kz,ky,kx,in) -> (K,in,out): check one element maps right
     ref = sd["backbone_3d.conv_input.0.weight"]  # (16,3,3,3,3)
     np.testing.assert_allclose(np.asarray(w)[0, 0, 0], ref[0, 0, 0, 0, 0])
+
+
+def test_multihead_ckpt_export_import_roundtrip():
+    """AnchorHeadMulti layout: export to the reference's
+    dense_head.shared_conv.{0,1} + dense_head.rpn_heads.{i}.conv_* naming,
+    reimport, and get the identical tree back."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_detector import _mini_cfg as _mc
+
+    cfg = _mc()
+    cfg["CLASS_NAMES"] = ["Car", "Pedestrian"]
+    ag = cfg["MODEL"]["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"]
+    ped = dict(ag[0], class_name="Pedestrian",
+               anchor_sizes=[[0.8, 0.6, 1.73]])
+    cfg["MODEL"]["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"] = [ag[0], ped]
+    cfg["MODEL"]["DENSE_HEAD"]["NAME"] = "AnchorHeadMulti"
+    cfg["MODEL"]["DENSE_HEAD"]["SHARED_CONV_NUM_FILTER"] = 32
+    cfg["MODEL"]["DENSE_HEAD"]["CLASS_NAMES_EACH_HEAD"] = [["Car"],
+                                                           ["Pedestrian"]]
+    cfg["MODEL"]["NAME"] = "SECONDNet"
+    cfg["MODEL"].pop("ROI_HEAD", None)
+    model, dcfg = build_detector(cfg)
+    rng = np.random.RandomState(0)
+    pts, valid, gt = _fake_batch(rng)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, valid,
+                           train=False)
+    host = {"params": jax.tree.map(np.asarray, variables["params"]),
+            "batch_stats": jax.tree.map(np.asarray,
+                                        variables["batch_stats"])}
+    sd = ckpt_compat.detector_state_dict_from_variables(host, "SECONDNet")
+    assert "dense_head.rpn_heads.0.conv_cls.weight" in sd
+    assert "dense_head.rpn_heads.1.conv_box.weight" in sd
+    assert "dense_head.shared_conv.0.weight" in sd
+    assert "dense_head.shared_conv.1.running_mean" in sd
+
+    imported = ckpt_compat.detector_variables_from_torch(sd, "SECONDNet")
+    ref = dict(jax.tree_util.tree_flatten_with_path(host["params"])[0])
+    imp = dict(jax.tree_util.tree_flatten_with_path(imported["params"])[0])
+    assert set(ref) == set(imp), (sorted(set(ref) ^ set(imp))[:6])
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(imp[k]), np.asarray(ref[k]),
+                                   atol=1e-6, err_msg=str(k))
+    out = model.apply(jax.tree.map(jnp.asarray, imported), pts, valid,
+                      train=False)
+    assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
