@@ -35,6 +35,17 @@ def rot_z(angle: jax.Array) -> jax.Array:
          z, z, o], axis=-1).reshape(*angle.shape, 3, 3)
 
 
+def rotate_points_along_z_np(points: np.ndarray, angle: np.ndarray) -> np.ndarray:
+    """numpy twin of rotate_points_along_z for host-side data transforms.
+    points (B, N, 3), angle (B,)."""
+    c, s = np.cos(angle), np.sin(angle)
+    out = points.copy()
+    x, y = points[..., 0], points[..., 1]
+    out[..., 0] = x * c[:, None] - y * s[:, None]
+    out[..., 1] = x * s[:, None] + y * c[:, None]
+    return out
+
+
 def rotate_points_along_z(points: jax.Array, angle: jax.Array) -> jax.Array:
     """Rotate (..., N, 3+C) points by (...,) angle about z. Extra feature
     channels beyond xyz pass through unchanged.

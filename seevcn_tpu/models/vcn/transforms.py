@@ -161,6 +161,68 @@ class GlobalRotation:
         return out
 
 
+class RandomObjectScaling:
+    """Per-dimension object scaling in the canonical frame
+    (data_transforms.py:287-317): with prob 0.5, rotate partial+complete
+    into the gt box frame, scale each axis by U(range), scale the box dims,
+    rotate back."""
+
+    def __init__(self, params=None, rng=None):
+        self.scale_range = tuple((params or {}).get("scale_range", (0.9, 1.1)))
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, pts, gt_box=None, complete=None, **kw):
+        if gt_box is None or \
+                self.scale_range[1] - self.scale_range[0] < 1e-3 or \
+                not self.rng.random() < 0.5:
+            return pts
+        from ...geom.transforms import rotate_points_along_z_np
+
+        c, ry = gt_box[:3], gt_box[6]
+        scale = self.rng.uniform(*self.scale_range, 3).astype(np.float32)
+
+        def to_cn_scale_back(p):
+            cn = rotate_points_along_z_np((p[:, :3] - c)[None], np.array([-ry]))[0]
+            cn *= scale
+            return rotate_points_along_z_np(cn[None], np.array([ry]))[0] + c
+
+        out = pts.copy()
+        out[:, :3] = to_cn_scale_back(pts)
+        if complete is not None:
+            complete[:, :3] = to_cn_scale_back(complete)
+        gt_box[3:6] *= scale
+        return out
+
+
+class NormalizeObjectPose:
+    """PCN-style pose normalization from 8 bbox corners
+    (data_transforms.py:400-424): center on the bbox, rotate by the yaw of
+    the corner0->corner3 edge, scale by that edge length, then swap y/z
+    into the PCN axis convention."""
+
+    def __init__(self, params=None, rng=None):
+        params = params or {}
+        keys = params.get("input_keys", {})
+        self.ptcloud_key = keys.get("ptcloud", "partial")
+        self.bbox_key = keys.get("bbox", "bbox_pts")
+
+    def __call__(self, pts, bbox_pts=None, **kw):
+        if bbox_pts is None:
+            return pts
+        bbox = np.asarray(bbox_pts, np.float64).copy()
+        center = (bbox.min(0) + bbox.max(0)) / 2
+        bbox -= center
+        yaw = np.arctan2(bbox[3, 1] - bbox[0, 1], bbox[3, 0] - bbox[0, 0])
+        rot = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                        [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]])
+        bbox = bbox @ rot
+        scale = bbox[3, 0] - bbox[0, 0]
+        out = pts.copy()
+        out[:, :3] = ((pts[:, :3] - center) @ rot) / scale
+        out[:, :3] = out[:, :3] @ np.array([[1, 0, 0], [0, 0, 1], [0, 1, 0.0]])
+        return out.astype(np.float32)
+
+
 TRANSFORMS = {
     "LidarSimulation": LidarSimulation,
     "Jitter": Jitter,
@@ -168,6 +230,8 @@ TRANSFORMS = {
     "ResamplePoints": ResamplePoints,
     "RandomWorldFlip": RandomWorldFlip,
     "GlobalRotation": GlobalRotation,
+    "RandomObjectScaling": RandomObjectScaling,
+    "NormalizeObjectPose": NormalizeObjectPose,
 }
 
 

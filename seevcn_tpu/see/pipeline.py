@@ -37,6 +37,7 @@ class SEEVCN:
         self.max_eps = float(iso.get("MAX_EPS", 1.0))
         sc = cfg.get("SURFACE_COMPLETION", {})
         self.vres = float(sc.get("VRES", 0.4))
+        self.use_seev1 = bool(sc.get("USE_SEEV1", False))  # SEE_VCN.py:40
         self.vcn = VCNInference.from_cfg(sc.VCN) if sc.get("VCN") else None
 
     # ------------------------------------------------------------------ #
@@ -66,6 +67,15 @@ class SEEVCN:
     def complete_gt_pts(self, isolated_pts, gt_labels):
         if not isolated_pts:
             return {"all_instances": None}
+        if self.use_seev1:
+            # legacy SEE-v1 densification (SEE_VCN.py:95-103)
+            clustered = [seev1_sampling(p, len(p), gt_box=np.asarray(g),
+                                        vres=self.vres, seed=i)
+                         for i, (p, g) in enumerate(zip(isolated_pts,
+                                                        gt_labels))]
+            return {"clustered": clustered,
+                    "all_instances": np.unique(
+                        np.vstack(clustered).astype(np.float32), axis=0)}
         ret = self.vcn(isolated_pts, gtboxes=gt_labels)
         ret["all_instances"] = np.unique(
             np.vstack(ret["clustered"]).astype(np.float32), axis=0)
@@ -169,6 +179,13 @@ class SEEVCN:
         filtered = [x for x in instances if x.shape[0] > self.min_lidar_pts]
         if not filtered:
             return {"all_instances": None}
+        if self.use_seev1:
+            # legacy SEE-v1 densification, no gt boxes (SEE_VCN.py:227-233)
+            clustered = [seev1_sampling(p, len(p), vres=self.vres, seed=i)
+                         for i, p in enumerate(filtered)]
+            return {"clustered": clustered,
+                    "all_instances": np.unique(
+                        np.vstack(clustered).astype(np.float32), axis=0)}
         ret = self.vcn(filtered)
         ret["all_instances"] = np.unique(
             np.vstack(ret["clustered"]).astype(np.float32), axis=0)
@@ -204,3 +221,52 @@ class SEEVCN:
         ret = self.complete_det_pts(instances)
         points = self.data_obj.get_pointcloud(idx)
         return self.replace_with_completed_pts(points, ret["all_instances"])
+
+
+# ---------------------------------------------------------------------------
+# Legacy SEE-v1 surface densification (reference SEE_VCN.seev1_ball_pivoting
+# :282-290 + seev1_sampling:292-303): the pre-VCN completion path built a
+# ball-pivot mesh over the isolated object and poisson-disk sampled it at a
+# rate matched to the lidar ring height. open3d is unavailable here, so the
+# densification is realized mesh-free: each point spawns interpolants toward
+# its k nearest neighbors (random barycentric mixes), which fills the
+# inter-ring gaps the same way the poisson sampling of the ball-pivot
+# surface did. Documented deviation: no explicit triangle mesh is produced.
+# ---------------------------------------------------------------------------
+def seev1_upsample(points: np.ndarray, num_out: int, k: int = 4,
+                   seed: int = 0) -> np.ndarray:
+    """Densify (N, 3) -> (num_out, 3) by interpolating k-NN pairs."""
+    import jax.numpy as jnp
+
+    from ..ops.sampling import pairwise_sqdist
+
+    n = len(points)
+    if n < 3 or num_out <= n:
+        return points[:num_out] if num_out < n else points
+    rng = np.random.default_rng(seed)
+    d = np.array(pairwise_sqdist(jnp.asarray(points, jnp.float32),
+                                 jnp.asarray(points, jnp.float32)))
+    np.fill_diagonal(d, np.inf)
+    nbrs = np.argsort(d, axis=1)[:, :k]                    # (N, k)
+    n_new = num_out - n
+    src = rng.integers(0, n, n_new)
+    dst = nbrs[src, rng.integers(0, k, n_new)]
+    t = rng.uniform(0.2, 0.8, (n_new, 1)).astype(np.float32)
+    interp = points[src] * (1 - t) + points[dst] * t
+    return np.concatenate([points, interp.astype(points.dtype)], axis=0)
+
+
+def seev1_sampling(points: np.ndarray, num_pcd_pts: int | None = None,
+                   gt_box: np.ndarray | None = None, vres: float = 0.4,
+                   optimal_ring_height: float = 0.05,
+                   seed: int = 0) -> np.ndarray:
+    """SEE-v1 sampling-rate logic (SEE_VCN.py:292-303): upsample by
+    ring_height / optimal_ring_height where ring_height is the vertical
+    lidar resolution at the object's range."""
+    num_pcd_pts = num_pcd_pts or len(points)
+    center = gt_box[:3] if gt_box is not None else points.mean(axis=0)
+    centroid_distance = float(np.linalg.norm(center))
+    ring_height = centroid_distance * np.tan(vres * np.pi / 180)
+    upsampling_rate = max(ring_height / optimal_ring_height, 1.0)
+    return seev1_upsample(points, int(upsampling_rate * num_pcd_pts),
+                          seed=seed)

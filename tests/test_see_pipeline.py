@@ -148,3 +148,41 @@ def test_replace_with_completed():
     # the point at 5.0 is replaced by the completed point; others kept
     assert out.shape == (3, 3)
     assert 5.02 in out[:, 0] and 5.0 not in out[:, 0]
+
+
+def test_seev1_sampling_densifies_by_range():
+    """Legacy SEE-v1 path: upsampling rate grows with object range
+    (ring_height / optimal); near objects are left as-is."""
+    from seevcn_tpu.see.pipeline import seev1_sampling, seev1_upsample
+
+    rs = np.random.RandomState(0)
+    obj = rs.randn(120, 3).astype(np.float32) * 0.4
+
+    near = seev1_sampling(obj + [3.0, 0, 0], gt_box=np.array([3.0, 0, 0]))
+    far = seev1_sampling(obj + [40.0, 0, 0],
+                         gt_box=np.array([40.0, 0, 0, 4, 2, 1.6, 0.0]))
+    assert len(near) >= len(obj)
+    assert len(far) > 3 * len(obj)            # 40m: ring_h ~0.28 -> ~5.6x
+    # originals preserved, interpolants stay near the object
+    np.testing.assert_array_equal(far[:len(obj)], obj + [40.0, 0, 0])
+    d = np.linalg.norm(far - [40.0, 0, 0], axis=1)
+    assert d.max() < np.linalg.norm(obj, axis=1).max() + 1e-4
+
+    up = seev1_upsample(obj, 500)
+    assert up.shape == (500, 3)
+
+
+def test_seev1_pipeline_path():
+    """USE_SEEV1: the GT completion path densifies without a VCN model."""
+    from seevcn_tpu.see.pipeline import SEEVCN
+    from seevcn_tpu.utils.config import Cfg
+
+    see = SEEVCN(Cfg({"PC_ISOLATION": {"MIN_LIDAR_PTS": 10},
+                      "SURFACE_COMPLETION": {"USE_SEEV1": True,
+                                             "VRES": 0.4}}))
+    rs = np.random.RandomState(0)
+    objs = [rs.randn(60, 3).astype(np.float32) * 0.4 + [30.0, 0, 0]]
+    labels = [np.array([30.0, 0, 0, 4.2, 2.0, 1.6, 0.0], np.float32)]
+    ret = see.complete_gt_pts(objs, labels)
+    assert ret["all_instances"] is not None
+    assert len(ret["clustered"][0]) > len(objs[0])   # densified at 30 m

@@ -71,3 +71,40 @@ def test_generate_dataset_consumable(tmp_path):
     item = ds[0]
     assert item["input"].shape == (128, 3)
     assert item["gt_boxes"][3] > 3.5  # plausible car length
+
+
+def test_normalize_object_pose_and_object_scaling():
+    """PCN-style pose normalization + canonical-frame object scaling
+    (reference data_transforms.py:287-317, 400-424)."""
+    from seevcn_tpu.models.vcn.transforms import (NormalizeObjectPose,
+                                                  RandomObjectScaling)
+    from seevcn_tpu.geom.boxes import boxes_to_corners_3d
+    import jax.numpy as jnp
+
+    box = np.array([5.0, 2.0, -0.5, 4.2, 1.9, 1.6, 0.7], np.float32)
+    corners = np.asarray(boxes_to_corners_3d(jnp.asarray(box[None])))[0]
+    rs = np.random.RandomState(0)
+    pts = rs.randn(200, 3).astype(np.float32) * 0.5 + box[:3]
+
+    npose = NormalizeObjectPose({"input_keys": {"ptcloud": "partial",
+                                                "bbox": "bbox_pts"}})
+    out = npose(pts, bbox_pts=corners)
+    # normalized: roughly centered, unit-ish scale
+    assert np.abs(out.mean(0)).max() < 0.5
+    assert np.abs(out).max() < 2.0
+
+    scaler = RandomObjectScaling({"scale_range": (0.5, 0.6)},
+                                 rng=np.random.default_rng(0))
+    gt = box.copy()
+    done = False
+    for _ in range(20):          # enable fires with prob 0.5
+        gt2 = box.copy()
+        p2 = scaler(pts.copy(), gt_box=gt2)
+        if not np.allclose(gt2[3:6], box[3:6]):
+            done = True
+            assert (gt2[3:6] < box[3:6]).all()      # shrink-only range
+            # points moved toward the box center in the canonical frame
+            assert np.linalg.norm(p2 - box[:3], axis=1).mean() < \
+                np.linalg.norm(pts - box[:3], axis=1).mean()
+            break
+    assert done, "scaling never enabled in 20 tries"
