@@ -344,7 +344,9 @@ def post_processing(out: dict, post_cfg, num_class: int, has_roi_head: bool,
     ``points``/``points_valid`` are only needed for the num_pts_iou_cls
     scoring mode (second_net_iou.py:132-144)."""
     nms_cfg = post_cfg.NMS_CONFIG
-    score_thresh = float(post_cfg.get("SCORE_THRESH", 0.1))
+    score_thresh = post_cfg.get("SCORE_THRESH", 0.1)
+    if not isinstance(score_thresh, (list, tuple)):
+        score_thresh = float(score_thresh)
 
     if has_roi_head:
         boxes = out["rois"]
@@ -377,6 +379,35 @@ def post_processing(out: dict, post_cfg, num_class: int, has_roi_head: bool,
         labels = cls.argmax(axis=-1) + 1
         boxes = out["batch_box_preds"]
         valid = jnp.ones(scores.shape, dtype=bool)
+
+        if nms_cfg.get("MULTI_CLASSES_NMS", False):
+            # model_nms_utils.multi_classes_nms: independent NMS per class,
+            # then global top-k over the per-class keeps
+            post = int(nms_cfg.NMS_POST_MAXSIZE)
+            st_list = score_thresh if isinstance(score_thresh, (list, tuple)) \
+                else [score_thresh] * num_class
+
+            def one_mc(bx, cls_scores, vd):
+                cand_b, cand_s, cand_l = [], [], []
+                for k in range(num_class):
+                    idx, keep, _ = nms_bev(
+                        bx[:, :7], cls_scores[:, k],
+                        thresh=float(nms_cfg.NMS_THRESH),
+                        pre_maxsize=int(nms_cfg.NMS_PRE_MAXSIZE),
+                        post_maxsize=post,
+                        score_thresh=float(st_list[k]), valid_mask=vd)
+                    cand_b.append(jnp.where(keep[:, None], bx[idx], 0.0))
+                    cand_s.append(jnp.where(keep, cls_scores[idx, k], 0.0))
+                    cand_l.append(jnp.full((post,), k + 1, jnp.int32))
+                ab = jnp.concatenate(cand_b)
+                asym = jnp.concatenate(cand_s)
+                al = jnp.concatenate(cand_l)
+                top, ti = jax.lax.top_k(asym, post)
+                return (ab[ti], top, jnp.where(top > 0, al[ti], 0), top > 0)
+
+            pb, ps, pl, pm = jax.vmap(one_mc)(boxes, cls, valid)
+            return {"pred_boxes": pb, "pred_scores": ps,
+                    "pred_labels": pl.astype(jnp.int32), "pred_mask": pm}
 
     def one(bx, sc, lb, vd):
         idx, keep, kscores = nms_bev(

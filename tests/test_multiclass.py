@@ -130,3 +130,41 @@ def test_anchor_head_multi(tmp_path):
     assert probs_loc[:, :, :a_car, 1:].max() < 1e-3
     # Ped/Cyc anchors never score Car
     assert probs_loc[:, :, a_car:, 0].max() < 1e-3
+
+
+def test_multi_classes_nms():
+    """MULTI_CLASSES_NMS keeps overlapping boxes of DIFFERENT classes that
+    class-agnostic NMS would suppress (model_nms_utils.multi_classes_nms)."""
+    from seevcn_tpu.models.detectors.second import post_processing
+
+    # two nearly identical boxes, one confidently Car, one Pedestrian
+    boxes = np.zeros((1, 8, 7), np.float32)
+    boxes[0, 0] = [10, 0, 0, 4.0, 2.0, 1.6, 0.0]
+    boxes[0, 1] = [10.1, 0, 0, 4.0, 2.0, 1.6, 0.0]
+    cls_logits = np.full((1, 8, 2), -10.0, np.float32)
+    cls_logits[0, 0, 0] = 4.0          # Car
+    cls_logits[0, 1, 1] = 3.0          # Pedestrian
+    out = {"batch_cls_preds": jnp.asarray(cls_logits),
+           "batch_box_preds": jnp.asarray(boxes)}
+
+    base = {"RECALL_THRESH_LIST": [0.3], "SCORE_THRESH": 0.1,
+            "NMS_CONFIG": {"MULTI_CLASSES_NMS": True, "NMS_TYPE": "nms_gpu",
+                           "NMS_THRESH": 0.1, "NMS_PRE_MAXSIZE": 8,
+                           "NMS_POST_MAXSIZE": 4}}
+    res = post_processing(out, Cfg(base), num_class=2, has_roi_head=False)
+    labels = np.asarray(res["pred_labels"][0])[np.asarray(res["pred_mask"][0])]
+    assert set(labels.tolist()) == {1, 2}, labels
+
+    base["NMS_CONFIG"]["MULTI_CLASSES_NMS"] = False
+    res2 = post_processing(out, Cfg(base), num_class=2, has_roi_head=False)
+    labels2 = np.asarray(res2["pred_labels"][0])[
+        np.asarray(res2["pred_mask"][0])]
+    assert set(labels2.tolist()) == {1}, labels2   # agnostic: Ped suppressed
+
+    # per-class SCORE_THRESH list is honored
+    base["NMS_CONFIG"]["MULTI_CLASSES_NMS"] = True
+    base["SCORE_THRESH"] = [0.1, 0.999]
+    res3 = post_processing(out, Cfg(base), num_class=2, has_roi_head=False)
+    labels3 = np.asarray(res3["pred_labels"][0])[
+        np.asarray(res3["pred_mask"][0])]
+    assert set(labels3.tolist()) == {1}, labels3
