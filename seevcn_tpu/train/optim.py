@@ -54,6 +54,19 @@ def build_lr_schedule(opt_cfg, total_steps: int):
     if clip > 0:
         base = sched
         sched = lambda step: jnp_maximum(base(step), clip)  # noqa: E731
+    if opt_cfg.get("LR_WARMUP", False):
+        # CosineWarmupLR (learning_schedules_fastai.py:80-89): half-cosine
+        # ramp 0 -> lr over WARMUP_EPOCH epochs, then the decay schedule
+        warm_steps = max(int(opt_cfg.get("WARMUP_EPOCH", 1)) *
+                         steps_per_epoch, 1)
+        decay_sched = sched
+
+        def sched(step):  # noqa: F811
+            import jax.numpy as jnp
+
+            t = jnp.minimum(step, warm_steps)
+            warm = lr * (1 - jnp.cos(jnp.pi * t / warm_steps)) / 2
+            return jnp.where(step < warm_steps, warm, decay_sched(step))
     return sched
 
 

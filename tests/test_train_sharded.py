@@ -143,3 +143,20 @@ def test_train_step_dp_mp_mesh():
     # near-zero grads; the forward activations are the meaningful parity
     np.testing.assert_allclose(results[1][1], results[4][1],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_lr_warmup_cosine():
+    """LR_WARMUP: half-cosine ramp to LR over WARMUP_EPOCH epochs before the
+    step-decay schedule (reference CosineWarmupLR)."""
+    from seevcn_tpu.train.optim import build_lr_schedule
+    from seevcn_tpu.utils.config import Cfg
+
+    cfg = Cfg({"OPTIMIZER": "adam", "LR": 0.01, "NUM_EPOCHS": 10,
+               "LR_WARMUP": True, "WARMUP_EPOCH": 2,
+               "DECAY_STEP_LIST": [5], "LR_DECAY": 0.1})
+    sched = build_lr_schedule(cfg, total_steps=100)   # 10 steps/epoch
+    vals = np.array([float(sched(t)) for t in range(100)])
+    assert vals[0] < 1e-6                      # starts at ~0
+    assert vals[5] < vals[15]                  # monotone ramp
+    np.testing.assert_allclose(vals[20], 0.01, rtol=1e-5)  # reaches LR
+    np.testing.assert_allclose(vals[60], 0.001, rtol=1e-5) # decayed at ep 5
