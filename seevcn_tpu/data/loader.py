@@ -48,7 +48,13 @@ class BackgroundLoader:
         jobs = queue.Queue()
         out = {}
         done = threading.Event()
-        lock = threading.Lock()
+        # Backpressure: hold at most ~prefetch assembled batches in memory.
+        # A worker holding batch bi blocks until bi < next_needed + prefetch;
+        # since jobs are taken FIFO, the worker holding next_needed always
+        # satisfies the window, so the consumer can never starve.
+        cv = threading.Condition()
+        state = {"next": 0, "errors": []}
+        window = max(1, self.prefetch)
 
         for bi, s in enumerate(starts):
             jobs.put((bi, order[s:s + self.batch_size]))
@@ -59,33 +65,42 @@ class BackgroundLoader:
                     bi, idx = jobs.get_nowait()
                 except queue.Empty:
                     return
-                frames = [self.dataset[int(i)] for i in idx]
-                batch = {k: np.stack([f[k] for f in frames]) for k in self.keys
-                         if k in frames[0]}
-                with lock:
+                with cv:
+                    while bi >= state["next"] + window and not done.is_set():
+                        cv.wait(timeout=0.1)
+                if done.is_set():
+                    return
+                try:
+                    frames = [self.dataset[int(i)] for i in idx]
+                    batch = {k: np.stack([f[k] for f in frames])
+                             for k in self.keys if k in frames[0]}
+                except Exception as e:  # surface to the consumer
+                    with cv:
+                        state["errors"].append(e)
+                        cv.notify_all()
+                    return
+                with cv:
                     out[bi] = batch
+                    cv.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
         try:
-            import time
-
             for bi in range(len(starts)):
-                while True:
-                    with lock:
-                        if bi in out:
-                            batch = out.pop(bi)
-                            break
-                        workers_done = not any(t.is_alive() for t in threads)
-                    if workers_done:
-                        with lock:
-                            if bi in out:
-                                batch = out.pop(bi)
-                                break
-                        raise RuntimeError("loader workers died")
-                    time.sleep(0.001)
+                with cv:
+                    while bi not in out:
+                        if state["errors"]:
+                            raise state["errors"][0]
+                        if not any(t.is_alive() for t in threads):
+                            raise RuntimeError("loader workers died")
+                        cv.wait(timeout=0.1)
+                    batch = out.pop(bi)
+                    state["next"] = bi + 1
+                    cv.notify_all()
                 yield batch
         finally:
             done.set()
+            with cv:
+                cv.notify_all()

@@ -382,7 +382,10 @@ def post_processing(out: dict, post_cfg, num_class: int, has_roi_head: bool,
 
         if nms_cfg.get("MULTI_CLASSES_NMS", False):
             # model_nms_utils.multi_classes_nms: independent NMS per class,
-            # then global top-k over the per-class keeps
+            # keeping up to NMS_POST_MAXSIZE *per class*, then concatenate —
+            # the fixed-shape output is (num_class * post,) with pred_mask
+            # marking real rows (no global top-k: that would cap total
+            # detections and drop recall in multi-class scenes).
             post = int(nms_cfg.NMS_POST_MAXSIZE)
             st_list = score_thresh if isinstance(score_thresh, (list, tuple)) \
                 else [score_thresh] * num_class
@@ -402,8 +405,12 @@ def post_processing(out: dict, post_cfg, num_class: int, has_roi_head: bool,
                 ab = jnp.concatenate(cand_b)
                 asym = jnp.concatenate(cand_s)
                 al = jnp.concatenate(cand_l)
-                top, ti = jax.lax.top_k(asym, post)
-                return (ab[ti], top, jnp.where(top > 0, al[ti], 0), top > 0)
+                # sort by score for a stable, reference-like ordering but
+                # keep the full num_class*post rows
+                order = jnp.argsort(-asym)
+                asym = asym[order]
+                return (ab[order], asym,
+                        jnp.where(asym > 0, al[order], 0), asym > 0)
 
             pb, ps, pl, pm = jax.vmap(one_mc)(boxes, cls, valid)
             return {"pred_boxes": pb, "pred_scores": ps,

@@ -24,6 +24,13 @@ def make_mesh(n_devices: int | None = None, mp: int = 1) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     assert n % mp == 0
+    if len(devs) < n:
+        raise RuntimeError(
+            f"make_mesh({n}, mp={mp}): only {len(devs)} device(s) visible on "
+            f"platform '{devs[0].platform}'. For a virtual multi-device run, "
+            f"set XLA_FLAGS=--xla_force_host_platform_device_count={n} and "
+            f'jax.config.update("jax_platforms", "cpu") before any jax use '
+            f"(see tests/conftest.py).")
     grid = np.asarray(devs[:n]).reshape(n // mp, mp)
     return Mesh(grid, axis_names=("dp", "mp"))
 

@@ -55,17 +55,21 @@ def build_lr_schedule(opt_cfg, total_steps: int):
         base = sched
         sched = lambda step: jnp_maximum(base(step), clip)  # noqa: E731
     if opt_cfg.get("LR_WARMUP", False):
-        # CosineWarmupLR (learning_schedules_fastai.py:80-89): half-cosine
-        # ramp 0 -> lr over WARMUP_EPOCH epochs, then the decay schedule
+        # CosineWarmupLR: the reference constructs it with
+        # eta_min = LR / DIV_FACTOR (train_utils/optimization/__init__.py:58-61),
+        # so the half-cosine ramps eta_min -> lr (not 0 -> lr) over
+        # WARMUP_EPOCH epochs, then hands off to the decay schedule.
         warm_steps = max(int(opt_cfg.get("WARMUP_EPOCH", 1)) *
                          steps_per_epoch, 1)
+        eta_min = lr / float(opt_cfg.get("DIV_FACTOR", 10))
         decay_sched = sched
 
         def sched(step):  # noqa: F811
             import jax.numpy as jnp
 
             t = jnp.minimum(step, warm_steps)
-            warm = lr * (1 - jnp.cos(jnp.pi * t / warm_steps)) / 2
+            warm = eta_min + (lr - eta_min) * (
+                1 - jnp.cos(jnp.pi * t / warm_steps)) / 2
             return jnp.where(step < warm_steps, warm, decay_sched(step))
     return sched
 
@@ -96,11 +100,18 @@ def build_optimizer(opt_cfg, total_steps: int) -> optax.GradientTransformation:
                                                   weight_decay=wd)
         )(learning_rate=sched, b1=b1)
     elif name == "adam":
+        # reference passes weight_decay to torch optim.Adam (L2-style, i.e.
+        # added to the gradient — optax.add_decayed_weights before adam
+        # scaling matches torch's coupled decay)
         tx = optax.adam(sched)
+        if wd > 0:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
     elif name == "adamw":
         tx = optax.adamw(sched, weight_decay=wd)
     elif name == "sgd":
         tx = optax.sgd(sched, momentum=float(opt_cfg.get("MOMENTUM", 0.9)))
+        if wd > 0:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
     else:
         raise NotImplementedError(name)
 

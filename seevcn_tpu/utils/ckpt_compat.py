@@ -81,10 +81,14 @@ def conv2d_to_conv(sd: dict, prefix: str, has_bias: bool = True) -> dict:
 
 
 def deconv2d_to_convtranspose(sd: dict, prefix: str, has_bias: bool = True) -> dict:
-    # torch ConvTranspose2d weight: (in, out, kh, kw) -> flax (kh, kw, in, out)
+    # torch ConvTranspose2d weight: (in, out, kh, kw) -> flax (kh, kw, in, out).
+    # torch's op is the gradient-derived transpose (scatters w[..., i, j] at
+    # output offset +i,+j) whereas flax nn.ConvTranspose with the default
+    # transpose_kernel=False places taps mirrored — so the spatial axes must
+    # be flipped to match numerically (test_detector_ckpt.py parity test).
     w = sd[f"{prefix}.weight"]
     assert w.ndim == 4, f"{prefix}: {w.shape}"
-    out = {"kernel": np.transpose(w, (2, 3, 0, 1))}
+    out = {"kernel": np.flip(np.transpose(w, (2, 3, 0, 1)), axis=(0, 1)).copy()}
     if has_bias and f"{prefix}.bias" in sd:
         out["bias"] = sd[f"{prefix}.bias"]
     return out
@@ -430,7 +434,10 @@ def _conv_to_conv2d(leaf: dict) -> dict:
 
 
 def _convtranspose_to_deconv2d(leaf: dict) -> dict:
-    return {"weight": np.transpose(np.array(leaf["kernel"]), (2, 3, 0, 1))}
+    # Inverse of deconv2d_to_convtranspose, including the spatial flip that
+    # maps flax's mirrored tap placement back to torch ConvTranspose2d.
+    w = np.flip(np.array(leaf["kernel"]), axis=(0, 1))
+    return {"weight": np.transpose(w, (2, 3, 0, 1)).copy()}
 
 
 def _spconv_export(kernel, kz, ky, kx) -> np.ndarray:

@@ -192,3 +192,56 @@ def test_multihead_ckpt_export_import_roundtrip():
     out = model.apply(jax.tree.map(jnp.asarray, imported), pts, valid,
                       train=False)
     assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
+
+
+def test_convtranspose_import_numeric_parity_with_torch():
+    """Imported ConvTranspose2d weights must make flax nn.ConvTranspose
+    reproduce torch.nn.functional.conv_transpose2d exactly (the deblock
+    upsample path, base_bev_backbone.py UPSAMPLE_STRIDES): torch scatters
+    w[..., i, j] at output offset +i,+j while flax places taps mirrored, so
+    the importer flips the spatial axes."""
+    import torch
+    import flax.linen as nn
+
+    rng = np.random.RandomState(3)
+    cin, cout, k = 5, 4, 2
+    w = rng.randn(cin, cout, k, k).astype(np.float32)  # torch (in,out,kh,kw)
+    x = rng.randn(2, cin, 8, 8).astype(np.float32)     # NCHW
+
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=k).numpy()
+
+    leaf = ckpt_compat.deconv2d_to_convtranspose(
+        {"p.weight": w}, "p", has_bias=False)
+    mod = nn.ConvTranspose(cout, (k, k), strides=(k, k), padding="VALID",
+                           use_bias=False)
+    y = mod.apply({"params": {"kernel": jnp.asarray(leaf["kernel"])}},
+                  jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
+                               ref, atol=1e-5)
+
+    # and the export direction is the exact inverse
+    back = ckpt_compat._convtranspose_to_deconv2d(leaf)
+    np.testing.assert_allclose(back["weight"], w, atol=0)
+
+
+def test_convtranspose_import_parity_stride3_overlap():
+    """Same parity with kernel != stride (overlapping taps)."""
+    import torch
+    import flax.linen as nn
+
+    rng = np.random.RandomState(4)
+    cin, cout = 3, 2
+    w = rng.randn(cin, cout, 3, 3).astype(np.float32)
+    x = rng.randn(1, cin, 6, 6).astype(np.float32)
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=2).numpy()
+
+    leaf = ckpt_compat.deconv2d_to_convtranspose(
+        {"p.weight": w}, "p", has_bias=False)
+    mod = nn.ConvTranspose(cout, (3, 3), strides=(2, 2), padding="VALID",
+                           use_bias=False)
+    y = mod.apply({"params": {"kernel": jnp.asarray(leaf["kernel"])}},
+                  jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
+                               ref, atol=1e-5)

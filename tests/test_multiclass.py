@@ -168,3 +168,35 @@ def test_multi_classes_nms():
     labels3 = np.asarray(res3["pred_labels"][0])[
         np.asarray(res3["pred_mask"][0])]
     assert set(labels3.tolist()) == {1}, labels3
+
+
+def test_multi_classes_nms_keeps_per_class_post():
+    """The fixed-shape output is num_class * NMS_POST_MAXSIZE rows: up to
+    POST detections survive *per class* (reference multi_classes_nms
+    concatenates per-class keeps; no global top-k cap on the total)."""
+    from seevcn_tpu.models.detectors.second import post_processing
+
+    # 3 well-separated confident boxes of each of 2 classes, post=3:
+    # all 6 must survive (a global top-k at post would keep only 3).
+    n = 8
+    boxes = np.zeros((1, n, 7), np.float32)
+    cls_logits = np.full((1, n, 2), -10.0, np.float32)
+    for i in range(3):
+        boxes[0, i] = [10 + 8 * i, 0, 0, 4.0, 2.0, 1.6, 0.0]
+        cls_logits[0, i, 0] = 4.0                     # Car
+        boxes[0, 3 + i] = [10 + 8 * i, 12, 0, 0.8, 0.6, 1.7, 0.0]
+        cls_logits[0, 3 + i, 1] = 3.0                 # Pedestrian
+    out = {"batch_cls_preds": jnp.asarray(cls_logits),
+           "batch_box_preds": jnp.asarray(boxes)}
+    base = {"RECALL_THRESH_LIST": [0.3], "SCORE_THRESH": 0.1,
+            "NMS_CONFIG": {"MULTI_CLASSES_NMS": True, "NMS_TYPE": "nms_gpu",
+                           "NMS_THRESH": 0.1, "NMS_PRE_MAXSIZE": 8,
+                           "NMS_POST_MAXSIZE": 3}}
+    res = post_processing(out, Cfg(base), num_class=2, has_roi_head=False)
+    mask = np.asarray(res["pred_mask"][0])
+    labels = np.asarray(res["pred_labels"][0])[mask]
+    assert res["pred_boxes"].shape[1] == 2 * 3
+    assert mask.sum() == 6, labels
+    assert (labels == 1).sum() == 3 and (labels == 2).sum() == 3
+    scores = np.asarray(res["pred_scores"][0])[mask]
+    assert (np.diff(scores) <= 1e-6).all()  # sorted by score
