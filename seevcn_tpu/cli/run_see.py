@@ -40,6 +40,10 @@ def build_data_obj(cfg):
         from ..data.kitti.see_adapter import KittiObjects
 
         return KittiObjects(cfg.DATA)
+    from ..data.see_adapters import SEE_ADAPTERS
+
+    if name in SEE_ADAPTERS:
+        return SEE_ADAPTERS[name](cfg.DATA)
     raise NotImplementedError(name)
 
 
