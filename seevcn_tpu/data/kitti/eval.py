@@ -113,22 +113,50 @@ def _camera_to_lidar_like(annos):
     return np.stack([z, -x, -(y - h / 2), l, w, h, -ry - np.pi / 2], axis=1)
 
 
-def _bev_3d_overlaps(gt_annos, dt_annos, metric: str):
-    """Per-frame IoU matrices via the device kernels."""
+def _bev_3d_overlaps(gt_annos, dt_annos, metric: str,
+                     part_size: int = 3000):
+    """Per-frame IoU matrices via the device kernels.
+
+    Frames are concatenated into parts and evaluated with ONE kernel call
+    per part (the reference's calculate_iou_partly:340-415 does the same to
+    amortize its CUDA launches); per-frame blocks are sliced out of the
+    part matrix. This keeps device dispatches to a handful for a full
+    3,769-frame KITTI val run instead of one per frame.
+    """
     import jax.numpy as jnp
 
     from ...ops.iou3d import boxes_iou3d, boxes_iou_bev
 
-    out = []
-    for g, d in zip(gt_annos, dt_annos):
-        gb = _camera_to_lidar_like(g)
-        db = _camera_to_lidar_like(d)
-        if len(gb) == 0 or len(db) == 0:
-            out.append(np.zeros((len(db), len(gb)), np.float64))
-            continue
-        fn = boxes_iou_bev if metric == "bev" else boxes_iou3d
-        out.append(np.asarray(fn(jnp.asarray(db, jnp.float32),
-                                 jnp.asarray(gb, jnp.float32)), np.float64))
+    fn = boxes_iou_bev if metric == "bev" else boxes_iou3d
+    gt_boxes = [_camera_to_lidar_like(g) for g in gt_annos]
+    dt_boxes = [_camera_to_lidar_like(d) for d in dt_annos]
+
+    out = [None] * len(gt_annos)
+    start = 0
+    while start < len(gt_annos):
+        stop, ng, nd = start, 0, 0
+        while stop < len(gt_annos) and (
+                max(ng + len(gt_boxes[stop]), nd + len(dt_boxes[stop]))
+                <= part_size or stop == start):
+            ng += len(gt_boxes[stop])
+            nd += len(dt_boxes[stop])
+            stop += 1
+        gb = np.concatenate([gt_boxes[f] for f in range(start, stop)]) \
+            if ng else np.zeros((0, 7))
+        db = np.concatenate([dt_boxes[f] for f in range(start, stop)]) \
+            if nd else np.zeros((0, 7))
+        if ng and nd:
+            part = np.asarray(fn(jnp.asarray(db, jnp.float32),
+                                 jnp.asarray(gb, jnp.float32)), np.float64)
+        else:
+            part = np.zeros((nd, ng))
+        gi = di = 0
+        for f in range(start, stop):
+            g, d = len(gt_boxes[f]), len(dt_boxes[f])
+            out[f] = part[di:di + d, gi:gi + g]
+            gi += g
+            di += d
+        start = stop
     return out
 
 
@@ -150,11 +178,14 @@ def get_thresholds(scores: np.ndarray, num_gt: int):
 
 def compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
                        dc_bboxes, metric, min_overlap, thresh=0.0,
-                       compute_fp=False):
+                       compute_fp=False, compute_aos=False):
     """Single-frame greedy matching (eval.py:compute_statistics_jit).
 
-    overlaps: (num_dt, num_gt). Returns (tp, fp, fn, thresh_list of matched
-    dt scores).
+    overlaps: (num_dt, num_gt). Returns (tp, fp, fn, similarity,
+    thresh_list of matched dt scores). This scalar transcription of the
+    official protocol is kept as the readable oracle (fuzz-tested against
+    fused_statistics below) and for the compute_fp=False threshold-
+    collection pass, which runs once per frame.
     """
     dt_scores = dt_anno["score"]
     num_dt, num_gt = len(ignored_dt), len(ignored_gt)
@@ -165,7 +196,8 @@ def compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
 
     NO_DETECTION = -10000000
     tp = fp = fn = 0
-    thresholds = []
+    similarity = 0.0
+    thresholds, deltas = [], []
     for i in range(num_gt):
         if ignored_gt[i] == -1:
             continue
@@ -202,6 +234,8 @@ def compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
         elif valid_detection != NO_DETECTION:
             tp += 1
             thresholds.append(dt_scores[det_idx])
+            if compute_aos:
+                deltas.append(gt_anno["alpha"][i] - dt_anno["alpha"][det_idx])
             assigned[det_idx] = True
 
     if compute_fp:
@@ -222,61 +256,163 @@ def compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
                     assigned[j] = True
                     nstuff += 1
         fp -= nstuff
+        if compute_aos:
+            # orientation similarity over tps, zeros for fps; -1 sentinel
+            # when this frame/threshold has no dets (eval.py:265-272)
+            similarity = float(np.sum((1.0 + np.cos(deltas)) / 2.0)) \
+                if (tp > 0 or fp > 0) else -1.0
 
-    return tp, fp, fn, np.array(thresholds)
+    return tp, fp, fn, similarity, np.array(thresholds)
+
+
+def fused_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
+                     dc_bboxes, metric, min_overlap, thresholds,
+                     compute_aos=False):
+    """All-threshold statistics for one frame, vectorized over thresholds.
+
+    Replaces the reference's numba fused_compute_statistics (eval.py:291-339):
+    the greedy gt loop stays sequential (assignment state is sequential),
+    but every score threshold is processed as a batch row, so per-frame cost
+    is O(num_gt) small vector ops instead of O(T * num_gt * num_dt) scalar
+    ones. Returns (T, 4) [tp, fp, fn, similarity].
+    """
+    dt_scores = np.asarray(dt_anno["score"], np.float64)
+    thr = np.asarray(thresholds, np.float64)
+    T = len(thr)
+    num_dt, num_gt = len(ignored_dt), len(ignored_gt)
+    out = np.zeros((T, 4))
+    ign_thr = dt_scores[None, :] < thr[:, None]          # (T, D)
+    assigned = np.zeros((T, num_dt), bool)
+    tp = np.zeros(T, np.int64)
+    fn = np.zeros(T, np.int64)
+    sim = np.zeros(T)
+    rows = np.arange(T)
+    not_ignored = (ignored_dt != -1)[None, :]
+    is0 = ignored_dt == 0
+    is1 = ignored_dt == 1
+    if compute_aos:
+        gt_alpha = np.asarray(gt_anno["alpha"], np.float64)
+        dt_alpha = np.asarray(dt_anno["alpha"], np.float64)
+
+    for i in range(num_gt):
+        if ignored_gt[i] == -1 or num_dt == 0:
+            if ignored_gt[i] == 0 and num_dt == 0:
+                fn += 1
+            continue
+        ov_i = overlaps[:, i]
+        elig = (~assigned) & (~ign_thr) & not_ignored \
+            & (ov_i > min_overlap)[None, :]
+        e0 = elig & is0[None, :]
+        any0 = e0.any(axis=1)
+        # best-overlap class det, first-max tie-break == reference's scan
+        det0 = np.where(e0, ov_i[None, :], -1.0).argmax(axis=1)
+        e1 = elig & is1[None, :]
+        any1 = e1.any(axis=1)
+        det1 = e1.argmax(axis=1)  # first eligible ignored det
+        valid = any0 | any1
+        det = np.where(any0, det0, det1)
+
+        if ignored_gt[i] == 0:
+            fn += ~valid
+            tp_rows = valid & any0
+            tp += tp_rows
+            if compute_aos and tp_rows.any():
+                sim += np.where(
+                    tp_rows,
+                    (1.0 + np.cos(gt_alpha[i] - dt_alpha[det])) / 2.0, 0.0)
+        assigned[rows[valid], det[valid]] = True
+
+    fp_mask = (~assigned) & is0[None, :] & (~ign_thr)
+    fp = fp_mask.sum(axis=1)
+    if metric == "bbox" and len(dc_bboxes) > 0 and num_dt:
+        ov = image_box_overlap(dt_anno["bbox"], dc_bboxes, criterion=0)
+        dc_hit = (ov > min_overlap).any(axis=1)
+        fp -= (fp_mask & dc_hit[None, :]).sum(axis=1)
+
+    out[:, 0] = tp
+    out[:, 1] = fp
+    out[:, 2] = fn
+    # compute_statistics returns the -1 "no dets" sentinel, but the
+    # reference's accumulator SKIPS it (`if similarity != -1`,
+    # eval.py:333-334) — so the fused accumulation contributes sim (which is
+    # 0 whenever tp == 0) unconditionally.
+    out[:, 3] = sim if compute_aos else 0.0
+    return out
 
 
 def eval_class(gt_annos, dt_annos, current_class: str, difficulty: int,
-               metric: str, min_overlap: float):
-    """-> dict(precision (41,), recall (41,), ap_r40, ap_r11)."""
+               metric: str, min_overlap: float, compute_aos: bool = False,
+               overlaps=None):
+    """-> dict(precision (41,), recall (41,), ap_r40, ap_r11[, aos_r40]).
+
+    ``overlaps`` may be passed in to reuse the per-frame IoU matrices across
+    difficulties/classes (the reference computes them once in eval_class's
+    caller; get_official_eval_result below does the same).
+    """
     assert metric in ("bbox", "bev", "3d")
     frames = len(gt_annos)
     rets = [clean_data(g, d, current_class, difficulty)
             for g, d in zip(gt_annos, dt_annos)]
-    if metric == "bbox":
-        overlaps = [image_box_overlap(d["bbox"].reshape(-1, 4),
-                                      g["bbox"].reshape(-1, 4))
-                    for g, d in zip(gt_annos, dt_annos)]
-    else:
-        overlaps = _bev_3d_overlaps(gt_annos, dt_annos, metric)
+    if overlaps is None:
+        overlaps = compute_overlaps(gt_annos, dt_annos, metric)
 
     total_valid_gt = sum(r[0] for r in rets)
     all_thresh = []
     for f in range(frames):
         nv, ig, idt, dc = rets[f]
-        _, _, _, th = compute_statistics(
+        _, _, _, _, th = compute_statistics(
             overlaps[f], gt_annos[f], dt_annos[f], ig, idt, dc, metric,
             min_overlap, compute_fp=False)
         all_thresh.append(th)
     all_thresh = np.concatenate(all_thresh) if all_thresh else np.zeros(0)
     if total_valid_gt == 0 or len(all_thresh) == 0:
         z = np.zeros(N_SAMPLE_PTS)
-        return {"precision": z, "recall": z, "ap_r40": 0.0, "ap_r11": 0.0}
+        out = {"precision": z, "recall": z, "ap_r40": 0.0, "ap_r11": 0.0}
+        if compute_aos:
+            out["aos"] = z
+            out["aos_r40"] = 0.0
+        return out
 
     thresholds = get_thresholds(all_thresh, total_valid_gt)
-    pr = np.zeros((len(thresholds), 3))  # tp, fp, fn
+    pr = np.zeros((len(thresholds), 4))  # tp, fp, fn, similarity
     for f in range(frames):
         nv, ig, idt, dc = rets[f]
-        for t, thr in enumerate(thresholds):
-            tp, fp, fn, _ = compute_statistics(
-                overlaps[f], gt_annos[f], dt_annos[f], ig, idt, dc, metric,
-                min_overlap, thresh=thr, compute_fp=True)
-            pr[t] += [tp, fp, fn]
+        pr += fused_statistics(
+            overlaps[f], gt_annos[f], dt_annos[f], ig, idt, dc, metric,
+            min_overlap, thresholds, compute_aos=compute_aos)
 
     precision = np.zeros(N_SAMPLE_PTS)
     recall = np.zeros(N_SAMPLE_PTS)
+    aos = np.zeros(N_SAMPLE_PTS)
     for t in range(len(thresholds)):
         precision[t] = pr[t, 0] / max(pr[t, 0] + pr[t, 1], 1e-9)
         recall[t] = pr[t, 0] / max(pr[t, 0] + pr[t, 2], 1e-9)
+        if compute_aos:
+            aos[t] = pr[t, 3] / max(pr[t, 0] + pr[t, 1], 1e-9)
     # right-cummax (standard interpolation)
     for t in range(N_SAMPLE_PTS):
         precision[t] = precision[t:].max()
         recall[t] = recall[t:].max()
+        if compute_aos:
+            aos[t] = aos[t:].max()
 
     ap_r40 = sum(precision[1:41]) / 40 * 100
     ap_r11 = sum(precision[0:41:4]) / 11 * 100
-    return {"precision": precision, "recall": recall,
-            "ap_r40": float(ap_r40), "ap_r11": float(ap_r11)}
+    out = {"precision": precision, "recall": recall,
+           "ap_r40": float(ap_r40), "ap_r11": float(ap_r11)}
+    if compute_aos:
+        out["aos"] = aos
+        out["aos_r40"] = float(sum(aos[1:41]) / 40 * 100)
+    return out
+
+
+def compute_overlaps(gt_annos, dt_annos, metric: str):
+    """Per-frame (num_dt, num_gt) overlap matrices for one metric."""
+    if metric == "bbox":
+        return [image_box_overlap(d["bbox"].reshape(-1, 4),
+                                  g["bbox"].reshape(-1, 4))
+                for g, d in zip(gt_annos, dt_annos)]
+    return _bev_3d_overlaps(gt_annos, dt_annos, metric)
 
 
 # default overlap thresholds (eval.py:639-660, overlap_0_7 table)
@@ -291,19 +427,39 @@ MIN_OVERLAPS = {
 
 
 def get_official_eval_result(gt_annos, dt_annos, classes=("Car",)):
-    """-> (report string, dict {class: {metric: {difficulty: ap_r40}}})."""
+    """-> (report string, dict {class: {metric: {difficulty: ap_r40}}}).
+
+    AOS is reported when the detections carry valid alphas, exactly like the
+    reference gate (eval.py:668-674: any anno with alpha[0] != -10).
+    """
+    compute_aos = False
+    for anno in dt_annos:
+        if len(anno.get("alpha", [])) != 0:
+            compute_aos = anno["alpha"][0] != -10
+            break
     results = {}
     lines = []
     for cls in classes:
         results[cls] = {}
         for metric in ("bbox", "bev", "3d"):
+            overlaps = compute_overlaps(gt_annos, dt_annos, metric)
             results[cls][metric] = {}
-            aps = []
+            want_aos = compute_aos and metric == "bbox"
+            if want_aos:
+                results[cls]["aos"] = {}
+            aps, aoss = [], []
             for diff in (0, 1, 2):
                 r = eval_class(gt_annos, dt_annos, cls, diff, metric,
-                               MIN_OVERLAPS[cls][metric])
+                               MIN_OVERLAPS[cls][metric],
+                               compute_aos=want_aos, overlaps=overlaps)
                 results[cls][metric][diff] = r["ap_r40"]
                 aps.append(r["ap_r40"])
+                if want_aos:
+                    results[cls]["aos"][diff] = r["aos_r40"]
+                    aoss.append(r["aos_r40"])
             lines.append(f"{cls} AP_R40@{MIN_OVERLAPS[cls][metric]:.2f} "
                          f"({metric}): {aps[0]:.4f}, {aps[1]:.4f}, {aps[2]:.4f}")
+            if want_aos:
+                lines.append(f"{cls} AOS_R40: {aoss[0]:.4f}, {aoss[1]:.4f}, "
+                             f"{aoss[2]:.4f}")
     return "\n".join(lines), results
