@@ -16,8 +16,10 @@ from ...ops.chamfer import chamfer_sq
 from ...ops.iou3d import boxes_iou3d
 from .nets import get_bbox_from_keypoints
 
-# per-input-point-count difficulty buckets (metrics.py:110-114)
-LEVELS = {"L1": (0, 50), "L2": (50, 150), "L3": (150, 500), "L4": (500, 1 << 30)}
+# per-input-point-count difficulty buckets, inclusive [min, max]
+# (metrics.py:110-114: L1 densest .. L4 sparsest)
+LEVELS = {"L1": (201, 1 << 30), "L2": (81, 200), "L3": (31, 80),
+          "L4": (5, 30)}
 
 
 def chamfer_metrics(pred: jax.Array, gt: jax.Array):
@@ -65,6 +67,59 @@ def out_of_box_fraction(pred_pts: jax.Array, gt_boxes: jax.Array,
     return 1.0 - inside.mean(axis=1)
 
 
+def _bev_pca(pc_bev: jax.Array):
+    """Closed-form 2-D PCA per sample: -> (major_axis (B,2),
+    explained_var (B,)). explained_var matches sklearn's
+    PCA.explained_variance_ (covariance with ddof=1)."""
+    n = pc_bev.shape[1]
+    x = pc_bev - pc_bev.mean(axis=1, keepdims=True)
+    cov = jnp.einsum("bni,bnj->bij", x, x) / (n - 1)
+    a, b, c = cov[:, 0, 0], cov[:, 0, 1], cov[:, 1, 1]
+    # eigenvalues of [[a, b], [b, c]]
+    tr, det = a + c, a * c - b * b
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
+    lam = tr / 2 + disc  # largest
+    # eigenvector for lam: (b, lam - a) or (lam - c, b) — pick the stabler
+    v1 = jnp.stack([b, lam - a], axis=1)
+    v2 = jnp.stack([lam - c, b], axis=1)
+    v = jnp.where((jnp.abs(b) + jnp.abs(lam - a) >
+                   jnp.abs(lam - c) + jnp.abs(b))[:, None], v1, v2)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    return v, lam
+
+
+def axis_alignment(pred_pts: jax.Array, gt_boxes: jax.Array):
+    """Angle (rad) between the PCA major axis of the predicted BEV points
+    and the GT heading axis, heading-sign agnostic
+    (metrics.py:358-384 _get_axis_alignment)."""
+    major, _ = _bev_pca(pred_pts[:, :, :2])
+    heading = gt_boxes[:, -1]
+    gt_vec = jnp.stack([jnp.cos(heading), jnp.sin(heading)], axis=1)
+    cosang = jnp.clip(jnp.abs(jnp.sum(gt_vec * major, axis=1)), 0.0, 1.0)
+    return jnp.arccos(cosang)
+
+
+def coherence(pred_pts: jax.Array):
+    """PCA explained variance of the predicted BEV points, clamped to 1
+    (metrics.py:387-409: noisy/incoherent shapes explain less variance)."""
+    _, lam = _bev_pca(pred_pts[:, :, :2])
+    return jnp.minimum(lam, 1.0)
+
+
+def partial_chamfer_metrics(input_pts: jax.Array, pred: jax.Array,
+                            gt_complete: jax.Array, sel_k: int = 30):
+    """CDL1/CDL2 between the *partial-mesh* selections of pred and GT — the
+    surface regions near the observed input points
+    (metrics.py:211-266 _get_chamfer_distancel{1,2}_partial)."""
+    from ...ops.sampling import fps, partial_mesh_batch
+
+    ds_gt = fps(gt_complete, pred.shape[1]) \
+        if gt_complete.shape[1] != pred.shape[1] else gt_complete
+    pred_surface = partial_mesh_batch(input_pts, pred, k=sel_k)
+    gt_surface = partial_mesh_batch(input_pts, ds_gt, k=sel_k)
+    return chamfer_metrics(pred_surface, gt_surface)
+
+
 class MetricAccumulator:
     """Accumulates per-sample metrics with per-level breakdown
     (metrics.py Metrics.get/items)."""
@@ -73,7 +128,7 @@ class MetricAccumulator:
         self.rows = []
 
     def update(self, pred_pts, gt_complete, gt_boxes, num_input_pts,
-               reg_rot=None, reg_centre=None):
+               reg_rot=None, reg_centre=None, input_pts=None):
         cdl1, cdl2 = chamfer_metrics(pred_pts, gt_complete)
         f1 = f_score(pred_pts, gt_complete)
         iou, _ = box_iou3d_metric(pred_pts, gt_boxes)
@@ -81,7 +136,14 @@ class MetricAccumulator:
         row = {"CDL1": np.asarray(cdl1), "CDL2": np.asarray(cdl2),
                "F1": np.asarray(f1), "IOU_3D": np.asarray(iou),
                "OOB": np.asarray(oob),
+               "AXIS_ALIGN": np.asarray(axis_alignment(pred_pts, gt_boxes)),
+               "COHERENCE": np.asarray(coherence(pred_pts)),
                "npts": np.asarray(num_input_pts)}
+        if input_pts is not None:
+            pcd1, pcd2 = partial_chamfer_metrics(input_pts, pred_pts,
+                                                 gt_complete)
+            row["CDL1_PARTIAL"] = np.asarray(pcd1)
+            row["CDL2_PARTIAL"] = np.asarray(pcd2)
         if reg_rot is not None:
             rot_err, trans_err = pose_errors(reg_rot, reg_centre, gt_boxes)
             row["ROT_ERR"] = np.asarray(rot_err)
@@ -98,7 +160,7 @@ class MetricAccumulator:
         for k, v in cat.items():
             out[k] = float(v.mean())
             for lvl, (lo, hi) in LEVELS.items():
-                m = (npts >= lo) & (npts < hi)
-                if m.any():
-                    out[f"{k}_{lvl}"] = float(v[m].mean())
+                m = (npts >= lo) & (npts <= hi)
+                # -1 sentinel for empty levels (metrics.py returns -1)
+                out[f"{k}_{lvl}"] = float(v[m].mean()) if m.any() else -1.0
         return out

@@ -113,7 +113,8 @@ class VCNTrainer:
             out = self.eval_step(state, jb)
             acc.update(out["coarse"], jb["complete"], jb["gt_boxes"],
                        batch["num_pts"],
-                       out.get("reg_rot"), out.get("reg_centre"))
+                       out.get("reg_rot"), out.get("reg_centre"),
+                       input_pts=jb.get("input"))
         return acc.summary()
 
     def fit(self, train_ds: VCDataset, val_ds: VCDataset | None = None,

@@ -169,3 +169,61 @@ def test_gradient_accumulation_matches_big_batch(tmp_path):
     # statistics differ vs the single full-batch step, so the result is
     # close but not bitwise equal (exactly as in the reference's torch BN)
     np.testing.assert_allclose(k2, key(s_full), atol=0.05)
+
+
+def test_axis_alignment_and_coherence_match_sklearn():
+    """PCA metrics equal the reference's sklearn-based computation
+    (metrics.py:358-409)."""
+    from sklearn.decomposition import PCA
+
+    from seevcn_tpu.models.vcn.metrics import axis_alignment, coherence
+
+    rng = np.random.RandomState(4)
+    B, N = 3, 300
+    heading = rng.uniform(-np.pi, np.pi, B)
+    pts = np.zeros((B, N, 3), np.float32)
+    for b in range(B):
+        local = rng.randn(N, 2) * [2.0, 0.6]
+        c, s = np.cos(heading[b] + 0.1 * b), np.sin(heading[b] + 0.1 * b)
+        pts[b, :, 0] = local[:, 0] * c - local[:, 1] * s
+        pts[b, :, 1] = local[:, 0] * s + local[:, 1] * c
+        pts[b, :, 2] = rng.randn(N) * 0.3
+    boxes = np.zeros((B, 7), np.float32)
+    boxes[:, 3:6] = [4.5, 2.0, 1.6]
+    boxes[:, 6] = heading
+
+    ours_angle = np.asarray(axis_alignment(jnp.asarray(pts),
+                                           jnp.asarray(boxes)))
+    ours_var = np.asarray(coherence(jnp.asarray(pts)))
+    for b in range(B):
+        pca = PCA(n_components=1).fit(pts[b, :, :2])
+        major = pca.components_[0]
+        gt_vec = np.array([np.cos(heading[b]), np.sin(heading[b])])
+        ref_angle = np.arccos(np.clip(abs(gt_vec @ major), 0, 1))
+        np.testing.assert_allclose(ours_angle[b], ref_angle, atol=1e-4)
+        ref_var = min(pca.explained_variance_[0], 1.0)
+        np.testing.assert_allclose(ours_var[b], ref_var, atol=1e-4)
+    # rotated ~0.1 rad off the heading axis per construction
+    assert abs(ours_angle[1] - 0.1) < 0.05
+
+
+def test_metric_levels_match_reference_buckets():
+    """L1..L4 buckets are the reference's (metrics.py:110-114): L1 densest
+    [201, inf), L4 sparsest [5, 30]."""
+    from seevcn_tpu.models.vcn.metrics import LEVELS, MetricAccumulator
+
+    assert LEVELS["L1"][0] == 201 and LEVELS["L2"] == (81, 200)
+    assert LEVELS["L3"] == (31, 80) and LEVELS["L4"] == (5, 30)
+
+    rng = np.random.RandomState(1)
+    gt = jnp.asarray(rng.randn(4, 128, 3).astype(np.float32))
+    boxes = jnp.asarray(np.tile(np.array([[0, 0, 0, 6, 6, 6, 0.0]],
+                                         np.float32), (4, 1)))
+    acc = MetricAccumulator()
+    acc.update(gt, gt, boxes, np.array([250, 100, 50, 10]),
+               input_pts=gt[:, :32])
+    s = acc.summary()
+    for lvl in ("L1", "L2", "L3", "L4"):
+        assert s[f"CDL1_{lvl}"] != -1.0   # one sample per bucket
+    assert "AXIS_ALIGN" in s and "COHERENCE" in s
+    assert "CDL1_PARTIAL" in s and s["CDL2_PARTIAL"] < 1e-4
