@@ -110,10 +110,17 @@ def spconv3d_weight(sd: dict, prefix: str) -> np.ndarray:
     """
     w = sd[f"{prefix}.weight"]
     assert w.ndim == 5, f"{prefix}: {w.shape}"
-    # Heuristic matching the reference loader: native spconv 2.x layout has
-    # (out, kz, ky, kx, in). 1.x has (kz, ky, kx, in, out). Kernel dims are
-    # small (1/3); channel dims are >= 16 in every reference model.
-    if w.shape[1] <= 3 and w.shape[2] <= 3 and w.shape[3] <= 3:
+    # Layout sniff matching the reference loader's shape comparison: native
+    # spconv 2.x is (out, kz, ky, kx, in); 1.x is (kz, ky, kx, in, out).
+    # Kernel dims are small (1 or 3). The sniff is ambiguous only when BOTH
+    # orientations parse (e.g. conv_input with 3 input features): the 1.x
+    # reading requires dims 0-2 kernel-sized, the 2.x reading dims 1-3 —
+    # prefer the one whose remaining dims are NOT kernel-sized, and fall
+    # back to 1.x (the layout actually shipped in OpenPCDet-era
+    # checkpoints, detector3d_template.py:330-359) when both fit.
+    looks_1x = all(s <= 3 for s in w.shape[0:3])
+    looks_2x = all(s <= 3 for s in w.shape[1:4])
+    if looks_2x and not looks_1x:
         w = np.transpose(w, (1, 2, 3, 4, 0))  # -> (kz, ky, kx, in, out)
     k = w.shape[0] * w.shape[1] * w.shape[2]
     return w.reshape(k, w.shape[3], w.shape[4])
@@ -557,9 +564,15 @@ def save_detector_checkpoint(path: str, variables: dict, epoch: int = 0,
     sd = detector_state_dict_from_variables(
         {"params": _to_np_tree(variables["params"]),
          "batch_stats": _to_np_tree(variables["batch_stats"])}, model_name)
-    torch.save({"model_state": {k: torch.from_numpy(np.array(v))
+    # Exact reference schema + legacy (non-zipfile) pickle serialization
+    # (train_utils.py:145-178: checkpoint_state keys and
+    # _use_new_zipfile_serialization=False), so reference tooling reads
+    # these bytes the same way it reads its own checkpoints.
+    torch.save({"epoch": epoch, "it": it,
+                "model_state": {k: torch.from_numpy(np.array(v))
                                 for k, v in sd.items()},
-                "epoch": epoch, "it": it, "version": "seevcn_tpu+0.1"}, path)
+                "optimizer_state": None, "version": "seevcn_tpu+0.1"},
+               path, _use_new_zipfile_serialization=False)
 
 
 def _to_np_tree(tree):

@@ -245,3 +245,77 @@ def test_convtranspose_import_parity_stride3_overlap():
                   jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
     np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
                                ref, atol=1e-5)
+
+
+def test_legacy_pickle_pth_with_spconv1x_layout(tmp_path):
+    """Byte-faithful reference fixture: save with the reference's exact
+    legacy-pickle format (train_utils.py:169-177,
+    _use_new_zipfile_serialization=False) and the full checkpoint_state
+    schema, with every spconv weight stored in the spconv-1.x on-disk
+    layout (kz, ky, kx, in, out — detector3d_template.py:330-359), then
+    load through ckpt_compat and require identical imported params."""
+    import torch
+
+    cfg = _mini_cfg()
+    rng = np.random.RandomState(1)
+    sd = make_reference_second_iou_state_dict(rng, cfg)
+
+    sd_v1 = {}
+    n_spconv = 0
+    for k, v in sd.items():
+        if v.ndim == 5:  # spconv 2.x native (out, kz, ky, kx, in) -> 1.x
+            sd_v1[k] = np.transpose(v, (1, 2, 3, 4, 0)).copy()
+            n_spconv += 1
+        else:
+            sd_v1[k] = v
+    assert n_spconv >= 10
+
+    path = tmp_path / "legacy_ckpt.pth"
+    torch.save({"epoch": 7, "it": 123,
+                "model_state": {k: torch.from_numpy(v)
+                                for k, v in sd_v1.items()},
+                "optimizer_state": None, "version": "pcdet+0.5.2"},
+               str(path), _use_new_zipfile_serialization=False)
+    # legacy serialization produces a bare pickle stream, not a zip archive
+    with open(path, "rb") as f:
+        assert f.read(2) != b"PK", "expected non-zipfile torch serialization"
+
+    ckpt = ckpt_compat.load_torch_checkpoint(str(path))
+    assert ckpt["epoch"] == 7 and ckpt["version"] == "pcdet+0.5.2"
+    loaded = ckpt_compat.state_dict_to_numpy(ckpt["model_state"])
+    imported_v1 = ckpt_compat.detector_variables_from_torch(loaded,
+                                                            "SECONDNetIoU")
+    imported_v2 = ckpt_compat.detector_variables_from_torch(sd, "SECONDNetIoU")
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(imported_v1["params"])[0])
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(imported_v2["params"])[0])
+    assert set(flat1) == set(flat2)
+    for k in flat1:
+        np.testing.assert_allclose(np.asarray(flat1[k]), np.asarray(flat2[k]),
+                                   atol=0, err_msg=str(k))
+
+    # and the model runs with the 1.x-imported weights
+    model, dcfg = build_detector(cfg)
+    pts, valid, gt = _fake_batch(np.random.RandomState(0))
+    out = model.apply(jax.tree.map(jnp.asarray, imported_v1), pts, valid,
+                      train=False)
+    assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
+
+
+def test_exported_pth_is_legacy_format_and_reference_schema(tmp_path):
+    """Our .pth export uses the reference's on-disk format: legacy pickle,
+    checkpoint_state keys (epoch/it/model_state/optimizer_state/version)."""
+    import torch
+
+    cfg = _mini_cfg()
+    model, dcfg = build_detector(cfg)
+    pts, valid, gt = _fake_batch(np.random.RandomState(0))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, valid,
+                           train=False)
+    path = tmp_path / "export.pth"
+    ckpt_compat.save_detector_checkpoint(str(path), variables, epoch=3, it=9)
+    with open(path, "rb") as f:
+        assert f.read(2) != b"PK"
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    assert set(ckpt) == {"epoch", "it", "model_state", "optimizer_state",
+                         "version"}
+    assert ckpt["epoch"] == 3 and ckpt["it"] == 9
