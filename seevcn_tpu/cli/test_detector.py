@@ -28,6 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--max_points", type=int, default=150000)
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--output_dir", default="output")
+    p.add_argument("--launcher", default="none",
+                   choices=["none", "jax", "slurm", "auto"],
+                   help="multi-process bring-up (reference test.py "
+                        "--launcher; here jax.distributed.initialize)")
     p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
     return p.parse_args(argv)
 
@@ -74,6 +78,9 @@ def main(argv=None):
     from ..utils.config import cfg_from_list, cfg_from_yaml_file
 
     args = parse_args(argv)
+    from ..parallel.distributed import init_distributed
+
+    init_distributed(args.launcher)
     cfg = cfg_from_yaml_file(args.cfg_file)
     if args.set_cfgs:
         cfg_from_list(args.set_cfgs, cfg)

@@ -26,20 +26,19 @@ def merge_results_dist(local_results: list, total_size: int | None = None):
         return local_results[:total_size] if total_size else local_results
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(np.asarray(
-        [len(local_results)], np.int32))
-    # object gather via broadcast of pickled bytes per host
+    # object gather via pickled bytes padded to the max length (the
+    # reference pads ByteTensors the same way, commu_utils.py:50-111)
     import pickle
 
     blob = pickle.dumps(local_results)
-    max_len = int(multihost_utils.process_allgather(
-        np.asarray([len(blob)], np.int64)).max())
+    lens = multihost_utils.process_allgather(
+        np.asarray([len(blob)], np.int64)).reshape(-1)
+    max_len = int(lens.max())
     padded = np.frombuffer(blob.ljust(max_len, b"\0"), np.uint8)
     all_blobs = multihost_utils.process_allgather(padded)
     out = []
     for i in range(jax.process_count()):
-        out.extend(pickle.loads(bytes(all_blobs[i]).rstrip(b"\0")))
-    del gathered
+        out.extend(pickle.loads(bytes(all_blobs[i][:int(lens[i])])))
     return out[:total_size] if total_size else out
 
 

@@ -55,8 +55,12 @@ def eval_one_epoch(model, cfg, variables, dataset, batch_size: int = 1,
     n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
     t_start = time.time()
     frame_indices = []
-    for s in range(0, n, batch_size):
-        idx = list(range(s, min(s + batch_size, n)))
+    # multi-host: strided frame shard per process (the reference's padded
+    # DistributedSampler, datasets/__init__.py:35-55); results merged below
+    rank, world = jax.process_index(), jax.process_count()
+    my_frames = list(range(rank, n, world))
+    for s in range(0, len(my_frames), batch_size):
+        idx = my_frames[s:s + batch_size]
         while len(idx) < batch_size:
             idx.append(idx[-1])  # pad the tail batch
         frames = [dataset[i] for i in idx]
@@ -81,12 +85,24 @@ def eval_one_epoch(model, cfg, variables, dataset, batch_size: int = 1,
     dt = time.time() - t_start
     logger(f"eval: {len(frame_indices)} frames, "
            f"{dt / max(len(frame_indices), 1):.4f} sec_per_example")
-    for t in thresh_list:
-        r = recall[f"recalled_{t}"] / max(recall["num_gt"], 1)
-        logger(f"recall_{t}: {r:.4f}")
 
     annos = dataset.generate_prediction_dicts(frame_indices, det_annos,
                                               cfg.CLASS_NAMES)
+    if world > 1:
+        # merge (frame, anno) pairs + recall counts across processes
+        # (replaces common_utils.merge_results_dist tmpdir pickles +
+        # eval_utils.py:41-48)
+        from ..parallel.collectives import merge_results_dist
+
+        pairs = merge_results_dist(list(zip(frame_indices, annos)))
+        pairs.sort(key=lambda p: p[0])
+        frame_indices = [p[0] for p in pairs][:n]
+        annos = [p[1] for p in pairs][:n]
+        merged_recall = merge_results_dist([recall])
+        recall = {k: sum(r[k] for r in merged_recall) for k in recall}
+    for t in thresh_list:
+        r = recall[f"recalled_{t}"] / max(recall["num_gt"], 1)
+        logger(f"recall_{t}: {r:.4f}")
     result = dataset.evaluation(annos, cfg.CLASS_NAMES)
     if result is None or result[0] is None:
         return None, {}, recall
