@@ -1,30 +1,30 @@
 """Benchmark: end-to-end SEE-VCN inference pipeline, frames/sec/chip.
 
-Measures the device path of BASELINE config 1/3 on one chip: per frame,
-VCN surface completion of 32 isolated objects (forward + partial-mesh +
-largest-cluster) followed by the SECOND-IoU detector (in-jit voxelization ->
-sparse backbone -> BEV -> anchor head -> IoU rcnn -> NMS) at KITTI scale
-(60k points, 16k voxels).
+Measures the device path of BASELINE config 1/3 on one chip at the
+REFERENCE'S eval capacity: per frame, VCN surface completion of 32 isolated
+objects (forward + partial-mesh + largest-cluster) followed by the
+SECOND-IoU detector (in-jit voxelization -> sparse backbone -> BEV ->
+anchor head -> IoU rcnn -> NMS) at the sc_kitti eval budget — 150k-point
+cloud, voxel [0.1, 0.1, 0.15], 90,000 max voxels
+(sc_kitti_dataset.yaml:31-37) — with the source-waymo/second_iou.yaml
+MODEL block.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor
-12.5 frames/s is the reference stack's typical single-GPU eval throughput
-for SECOND-class models (sec_per_example ~0.08 s printed by
-tools/eval_utils/eval_utils.py:79-80), used as a provisional anchor until a
-measured reference value lands in BASELINE.json.
+vs_baseline: the reference repo publishes NO benchmark numbers
+(BASELINE.md) and its CUDA stack cannot run in this environment, so no
+honest reference anchor exists; vs_baseline is null and the metric is the
+raw measured frames/s/chip.
 """
 import json
 import time
 
 import numpy as np
 
-PROVISIONAL_REFERENCE_FPS = 12.5
-
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _mini_detector_cfg
+    from __graft_entry__ import _flagship_detector_cfg
     from seevcn_tpu.models.detectors.second import build_detector, post_processing
     from seevcn_tpu.models.vcn.nets import build_vcn
     from seevcn_tpu.ops.clustering import largest_cluster_batch
@@ -45,9 +45,9 @@ def main():
         return largest_cluster_batch(surface, eps=0.4, min_points=2, total_pts=1024)
 
     # --- detector stage ----------------------------------------------------
-    cfg = _mini_detector_cfg()
+    cfg = _flagship_detector_cfg()
     model, dcfg = build_detector(cfg)
-    B, P = 1, 60000
+    B, P = 1, 150000
     pts = np.zeros((B, P, 3), np.float32)
     pts[:, :, 0] = rng.uniform(1, 69, (B, P))
     pts[:, :, 1] = rng.uniform(-39, 39, (B, P))
@@ -80,7 +80,7 @@ def main():
         "metric": "see_vcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / PROVISIONAL_REFERENCE_FPS, 2),
+        "vs_baseline": None,
     }))
 
 
