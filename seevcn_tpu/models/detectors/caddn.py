@@ -6,10 +6,12 @@ x predicted categorical depth distribution -> frustum feature volume ->
 sampled onto the lidar voxel grid via the calibration -> Conv2DCollapse ->
 BEV backbone -> anchor head.
 
-Deviation (documented): the reference's DeepLabV3/ResNet101 image backbone
-(torchvision pretrained) is replaced by a compact conv pyramid — CaDDN here
-is an architectural capability (the frustum->voxel machinery, LID depth
-discretization, depth loss), not a pretrained-camera-model port.
+The image backbone is config-selected (FFN.DDN.NAME):
+  * ``DDNDeepLabV3`` — native flax DeepLabV3 over ResNet50/101 (modules/ddn.py),
+    mirroring ddn_deeplabv3.py: layer1 (stride-4) features, ASPP depth logits
+    upsampled to the feature resolution, CHANNEL_REDUCE conv, focal DDN loss
+    with fg/bg balancing (ddn_loss.py/balancer.py) when gt 2D boxes are given.
+  * default — a compact conv pyramid for fast tests / small configs.
 """
 from __future__ import annotations
 
@@ -72,12 +74,33 @@ class CaDDN(nn.Module):
         num_bins = int(disc["num_bins"])
         d_min, d_max = float(disc["depth_min"]), float(disc["depth_max"])
 
-        feat = ImageBackbone(name="image_backbone")(images, train)   # (B,h,w,C)
+        ddn_cfg = vfe_cfg.FFN.get("DDN", {})
+        if ddn_cfg.get("NAME") == "DDNDeepLabV3":
+            from ..modules.ddn import DDNDeepLabV3
+
+            args = ddn_cfg.get("ARGS", {})
+            feat, depth_logits = DDNDeepLabV3(
+                num_classes=num_bins + 1,
+                backbone_name=ddn_cfg.get("BACKBONE_NAME", "ResNet101"),
+                width=int(args.get("width", 64)),
+                pretrained_norm=bool(args.get("use_pretrained_norm", True)),
+                name="ddn")(images, train)
+            cr = vfe_cfg.FFN.get("CHANNEL_REDUCE")
+            if cr:
+                feat = ConvBlock2d(int(cr["out_channels"]),
+                                   kernel=int(cr.get("kernel_size", 1)),
+                                   stride=int(cr.get("stride", 1)),
+                                   padding=int(cr.get("padding", 0)),
+                                   name="channel_reduce")(feat, train)
+        else:
+            feat = ImageBackbone(name="image_backbone")(images, train)
+            depth_logits = nn.Conv(num_bins + 1, (1, 1),
+                                   name="depth_head")(feat)
         b, h, w, c = feat.shape
         stride = images.shape[1] // h
-
-        depth_logits = nn.Conv(num_bins + 1, (1, 1), name="depth_head")(feat)
-        ddist = jax.nn.softmax(depth_logits[..., :num_bins], axis=-1)
+        # softmax over all D+1 bins, then drop the "beyond range" slot
+        # (depth_ffn.create_frustum_features) — mass can leak out of range
+        ddist = jax.nn.softmax(depth_logits, axis=-1)[..., :num_bins]
 
         # frustum features: outer product (B, h, w, D, C)
         frustum = ddist[..., :, None] * feat[..., None, :]
@@ -141,13 +164,14 @@ class CaDDN(nn.Module):
                 "batch_box_preds": batch_box_preds,
                 "depth_logits": depth_logits}
 
-    def loss(self, out, gt_boxes, depth_maps=None):
+    def loss(self, out, gt_boxes, depth_maps=None, gt_boxes2d=None):
         cfg = self.cfg
         logic = cfg.head_logic
         targets = logic.assign_targets(gt_boxes)
         rpn_loss, tb = logic.loss(out["head_out"], targets)
         if depth_maps is not None:
-            disc = cfg.model_cfg.VFE.FFN.DISCRETIZE
+            ffn_cfg = cfg.model_cfg.VFE.FFN
+            disc = ffn_cfg.DISCRETIZE
             num_bins = int(disc["num_bins"])
             dl = out["depth_logits"]
             b, h, w, _ = dl.shape
@@ -156,12 +180,28 @@ class CaDDN(nn.Module):
             gt_d = depth_maps[:, ::stride, ::stride][:, :h, :w]
             bins = depth_to_lid_bin(gt_d, float(disc["depth_min"]),
                                     float(disc["depth_max"]), num_bins)
-            valid = (gt_d > 0).astype(jnp.float32)
-            one_hot = jax.nn.one_hot(jnp.clip(bins, 0, num_bins), num_bins + 1)
-            ddn = weighted_cross_entropy(dl.reshape(b, -1, num_bins + 1),
-                                         one_hot.reshape(b, -1, num_bins + 1),
-                                         valid.reshape(b, -1))
-            ddn_loss = ddn.sum() / jnp.maximum(valid.sum(), 1.0)
-            tb["ddn_loss"] = ddn_loss
+            loss_cfg = ffn_cfg.get("LOSS")
+            if loss_cfg is not None and loss_cfg.get("NAME") == "DDNLoss":
+                from ..modules.ddn import ddn_focal_loss
+
+                args = loss_cfg.get("ARGS", {})
+                ddn_loss, ddn_tb = ddn_focal_loss(
+                    dl, jnp.clip(bins, 0, num_bins), gt_boxes2d,
+                    alpha=float(args.get("alpha", 0.25)),
+                    gamma=float(args.get("gamma", 2.0)),
+                    fg_weight=float(args.get("fg_weight", 13.0)),
+                    bg_weight=float(args.get("bg_weight", 1.0)),
+                    downsample_factor=stride,
+                    weight=float(args.get("weight", 3.0)))
+                tb.update(ddn_tb)
+            else:
+                valid = (gt_d > 0).astype(jnp.float32)
+                one_hot = jax.nn.one_hot(jnp.clip(bins, 0, num_bins),
+                                         num_bins + 1)
+                ddn = weighted_cross_entropy(dl.reshape(b, -1, num_bins + 1),
+                                             one_hot.reshape(b, -1, num_bins + 1),
+                                             valid.reshape(b, -1))
+                ddn_loss = ddn.sum() / jnp.maximum(valid.sum(), 1.0)
+                tb["ddn_loss"] = ddn_loss
             rpn_loss = rpn_loss + ddn_loss
         return rpn_loss, tb

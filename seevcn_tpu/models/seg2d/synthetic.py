@@ -1,0 +1,149 @@
+"""Procedural synthetic driving scenes for seg2d training.
+
+This environment has no egress (no COCO download, no pretrained HTC — the
+reference uses a COCO-pretrained HTC checkpoint,
+see/detector2d/scripts/htc/kitti_masks.sh:10-11), so the native Mask R-CNN
+trains on procedurally generated scenes: shaded car silhouettes (body +
+cabin + wheels) over textured road/sky backgrounds, with distractor shapes
+and occlusion. The generator returns exactly the (image, boxes, labels,
+valid, masks) batch layout make_seg2d_train_step expects, so the same
+recipe retrains on real COCO-format data when available
+(cli/train_seg2d.py --coco_dir).
+
+Pure numpy on the host; images are normalized [-1, 1]-ish like the
+backend's ImageNet normalization expects (mean 0, unit-ish scale).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _ellipse_mask(h, w, cx, cy, rx, ry):
+    ys, xs = np.mgrid[0:h, 0:w]
+    return ((xs - cx) / max(rx, 1e-3)) ** 2 + ((ys - cy) / max(ry, 1e-3)) ** 2 <= 1.0
+
+
+def _rounded_box_mask(h, w, x1, y1, x2, y2, r=0.0):
+    ys, xs = np.mgrid[0:h, 0:w]
+    inside = (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
+    return inside
+
+
+def draw_car(h, w, rng, scale=1.0, flip=False):
+    """Car silhouette mask (h, w) + base color. Body box + trapezoid cabin +
+    two wheel ellipses, optionally mirrored."""
+    cw = int(rng.uniform(34, 60) * scale)          # car width (px)
+    ch = int(cw * rng.uniform(0.35, 0.5))          # body height
+    cabin_h = int(ch * rng.uniform(0.6, 0.9))
+    wheel_r = max(int(ch * rng.uniform(0.28, 0.38)), 2)
+
+    total_h = ch + cabin_h + wheel_r
+    x0 = rng.randint(0, max(w - cw - 1, 1))
+    y0 = rng.randint(int(h * 0.35), max(int(h - total_h - 1), int(h * 0.35) + 1))
+
+    mask = np.zeros((h, w), bool)
+    # body
+    bx1, by1 = x0, y0 + cabin_h
+    bx2, by2 = min(x0 + cw, w), min(y0 + cabin_h + ch, h)
+    mask |= _rounded_box_mask(h, w, bx1, by1, bx2, by2)
+    # cabin (narrower box, offset toward the rear)
+    coff = int(cw * (0.12 if not flip else 0.28))
+    cx1 = x0 + coff
+    cx2 = min(cx1 + int(cw * 0.55), w)
+    mask |= _rounded_box_mask(h, w, cx1, y0, cx2, y0 + cabin_h + 2)
+    # wheels
+    wy = min(by2, h - 1)
+    for fx in (0.22, 0.78):
+        wx = x0 + int(cw * fx)
+        mask |= _ellipse_mask(h, w, wx, wy, wheel_r, wheel_r)
+    color = rng.uniform(0.15, 0.95, 3)
+    return mask, color
+
+
+def draw_distractor(h, w, rng):
+    """Non-car shape: pole, sign (triangle/circle), or building block."""
+    kind = rng.randint(3)
+    mask = np.zeros((h, w), bool)
+    if kind == 0:      # pole
+        x = rng.randint(2, w - 4)
+        pw = rng.randint(2, 5)
+        mask[rng.randint(0, h // 3):, x:x + pw] = True
+    elif kind == 1:    # circular sign on a pole
+        cx, cy = rng.randint(8, w - 8), rng.randint(8, h // 2)
+        r = rng.randint(4, 9)
+        mask |= _ellipse_mask(h, w, cx, cy, r, r)
+        mask[cy:, cx - 1:cx + 1] = True
+    else:              # building block
+        x1, y1 = rng.randint(0, w - 20), 0
+        bw, bh = rng.randint(16, 48), rng.randint(h // 4, int(h * 0.55))
+        mask[y1:y1 + bh, x1:x1 + bw] = True
+    color = rng.uniform(0.1, 0.9, 3)
+    return mask, color
+
+
+def synth_scene(h, w, rng, max_gt=8, n_cars=None, min_pixels=24):
+    """One scene. Returns (img (h, w, 3) float32 ~N(0,1) scale, boxes
+    (max_gt, 4) xyxy, labels (max_gt,), valid (max_gt,), masks
+    (max_gt, h, w))."""
+    # background: sky gradient + road + noise texture
+    sky = rng.uniform(0.5, 0.9, 3)
+    road = rng.uniform(0.2, 0.45)
+    horizon = int(h * rng.uniform(0.35, 0.55))
+    img = np.empty((h, w, 3), np.float32)
+    t = (np.arange(h) / h)[:, None, None]
+    img[:] = sky * (1 - 0.4 * t)
+    img[horizon:] = road + rng.uniform(-0.03, 0.03)
+    img += rng.normal(0, 0.03, (h, w, 3))
+    # lane line
+    if rng.rand() < 0.7:
+        lx = rng.randint(w // 4, 3 * w // 4)
+        img[horizon + 2:, lx:lx + 2] = 0.9
+
+    # distractors (background class — drawn but not annotated)
+    for _ in range(rng.randint(0, 4)):
+        m, c = draw_distractor(h, w, rng)
+        shade = rng.uniform(0.85, 1.15)
+        img[m] = c * shade
+
+    n = rng.randint(1, max_gt) if n_cars is None else n_cars
+    boxes = np.zeros((max_gt, 4), np.float32)
+    labels = np.zeros((max_gt,), np.int32)
+    valid = np.zeros((max_gt,), bool)
+    masks = np.zeros((max_gt, h, w), np.float32)
+
+    drawn = []
+    for _ in range(n):
+        scale = rng.uniform(0.6, 1.8)
+        m, c = draw_car(h, w, rng, scale=scale, flip=rng.rand() < 0.5)
+        # shading: vertical gradient + highlight
+        shade = 1.0 - 0.3 * (np.arange(h) / h)[:, None]
+        for ch_i in range(3):
+            img[..., ch_i] = np.where(m, c[ch_i] * shade, img[..., ch_i])
+        # windows darker
+        drawn.append(m)
+
+    # later cars occlude earlier ones; recompute visible masks
+    k = 0
+    for i, m in enumerate(drawn):
+        vis = m.copy()
+        for mj in drawn[i + 1:]:
+            vis &= ~mj
+        if vis.sum() < min_pixels or k >= max_gt:
+            continue
+        ys, xs = np.nonzero(vis)
+        boxes[k] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        labels[k] = 0                        # single foreground class: car
+        valid[k] = True
+        masks[k] = vis.astype(np.float32)
+        k += 1
+
+    img = np.clip(img, 0, 1)
+    img = (img - 0.5) / 0.25                 # zero-mean, ~unit scale
+    return img.astype(np.float32), boxes, labels, valid, masks
+
+
+def synth_batch(rng, image_size, batch, max_gt=8):
+    """Batch of scenes, stacked. numpy outputs (caller moves to device)."""
+    h, w = image_size
+    out = [synth_scene(h, w, rng, max_gt=max_gt) for _ in range(batch)]
+    return tuple(np.stack(x) for x in zip(*out))

@@ -120,6 +120,253 @@ def sample_surface(verts, faces, n: int, rng=None) -> np.ndarray:
     return pts.astype(np.float32)
 
 
+# --------------------------------------------------------------------------- #
+# scene population (reference dataset_functions.py:265-462): several cars per
+# frame at poses from real driving frames, pole/sign distractors, occlusion-
+# aware pinhole raycast per object
+# --------------------------------------------------------------------------- #
+
+def make_cylinder(radius: float, height: float, center, n_seg: int = 12):
+    """Closed cylinder triangle mesh (verts (V,3), faces (F,3)) — the
+    reference uses o3d create_cylinder for poles/signs."""
+    center = np.asarray(center, np.float64)
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    ring = np.stack([radius * np.cos(ang), radius * np.sin(ang)], axis=1)
+    bot = np.concatenate([ring, np.full((n_seg, 1), -height / 2)], axis=1)
+    top = np.concatenate([ring, np.full((n_seg, 1), height / 2)], axis=1)
+    verts = np.concatenate([bot, top,
+                            [[0, 0, -height / 2]], [[0, 0, height / 2]]])
+    faces = []
+    cb, ct = 2 * n_seg, 2 * n_seg + 1
+    for i in range(n_seg):
+        j = (i + 1) % n_seg
+        faces += [[i, j, n_seg + i], [j, n_seg + j, n_seg + i],  # side quads
+                  [cb, j, i], [ct, n_seg + i, n_seg + j]]        # caps
+    return verts + center, np.asarray(faces, np.int64)
+
+
+def _merge_meshes(meshes):
+    verts, faces, off = [], [], 0
+    for v, f in meshes:
+        verts.append(v)
+        faces.append(f + off)
+        off += len(v)
+    return np.concatenate(verts), np.concatenate(faces)
+
+
+def populate_scene(scene_cars, sign_boxes=None, rng=None,
+                   random_poles_pct: float = 0.3, lidar_height: float = 2.4):
+    """Build the raycasting scene: placed car meshes + pole distractors next
+    to a fraction of the cars + annotated signs as cylinders
+    (dataset_functions.populate_scene:265-308). scene_cars: list of dicts
+    {verts, faces, gtbox (7,)}. Returns merged (verts, faces)."""
+    rng = rng or np.random.default_rng(0)
+    meshes = [(c["verts"], c["faces"]) for c in scene_cars]
+    num_poles = int(len(scene_cars) * random_poles_pct)
+    for i, car in enumerate(scene_cars[:num_poles]):
+        box = car["gtbox"]
+        pole_r = rng.uniform(0.03, 0.2)
+        pole_h = rng.uniform(1, 4)
+        corners = _box_corners_bev(box)
+        box_min, box_max = corners.min(0), corners.max(0)
+        choice = rng.integers(1, 4)
+        if rng.random() < 0.5:
+            if choice == 1:
+                xy = np.array([box_max[0], box[1]]) + rng.uniform(0, 0.5)
+            elif choice == 2:
+                xy = np.array([box[0], box_max[1]]) + rng.uniform(0, 0.5)
+            else:
+                xy = box_max + rng.uniform(0, 1, 2)
+        else:
+            xy = box_min - rng.uniform(0, 1, 2)
+        centre = np.array([xy[0], xy[1], box[2] + pole_h / 2 - box[5] / 2])
+        meshes.append(make_cylinder(pole_r, pole_h, centre))
+    for sign in (sign_boxes if sign_boxes is not None else []):
+        pole_h = rng.uniform(1, 4)
+        centre = np.array([sign[0], sign[1], -lidar_height + pole_h / 2])
+        meshes.append(make_cylinder(rng.uniform(0.03, 0.1), pole_h, centre))
+    return _merge_meshes(meshes)
+
+
+def _box_corners_bev(box):
+    l, w, ry = box[3], box[4], box[6]
+    base = np.array([[l / 2, w / 2], [l / 2, -w / 2],
+                     [-l / 2, w / 2], [-l / 2, -w / 2]])
+    c, s = np.cos(ry), np.sin(ry)
+    rot = np.array([[c, s], [-s, c]])
+    return base @ rot + box[:2]
+
+
+def points_in_box7(pts: np.ndarray, box) -> np.ndarray:
+    """Rotated-box membership mask (numpy, host-side crop of ray hits)."""
+    rel = pts - np.asarray(box[:3])
+    c, s = np.cos(box[6]), np.sin(box[6])
+    lx = rel[:, 0] * c + rel[:, 1] * s
+    ly = -rel[:, 0] * s + rel[:, 1] * c
+    return ((np.abs(lx) <= box[3] / 2) & (np.abs(ly) <= box[4] / 2) &
+            (np.abs(rel[:, 2]) <= box[5] / 2))
+
+
+def cast_rays_at_point(verts, faces, point, fov_deg: float = 100.0,
+                       aspect_ratio: float = 2.0, height_px: int = 160,
+                       eye=(0.0, 0.0, 0.0)):
+    """Pinhole ray bundle from ``eye`` looking at ``point`` (the o3d
+    create_rays_pinhole analog, dataset_functions.py:310-325), cast against
+    the merged scene; returns hit points (N, 3)."""
+    eye = np.asarray(eye, np.float64)
+    point = np.asarray(point, np.float64)
+    fwd = point - eye
+    fwd = fwd / max(np.linalg.norm(fwd), 1e-9)
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up)
+    nr = np.linalg.norm(right)
+    right = right / nr if nr > 1e-9 else np.array([1.0, 0, 0])
+    cam_up = np.cross(right, fwd)
+
+    h = int(height_px)
+    w = int(aspect_ratio * height_px)
+    focal = h / (2 * np.tan(np.deg2rad(fov_deg) / 2))
+    us = (np.arange(w) + 0.5 - w / 2) / focal
+    vs = (np.arange(h) + 0.5 - h / 2) / focal
+    U, V = np.meshgrid(us, vs)
+    dirs = (fwd[None, None] + U[..., None] * right[None, None]
+            - V[..., None] * cam_up[None, None]).reshape(-1, 3)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    return _cast_rays(verts, faces, eye, dirs)
+
+
+def _cast_rays(verts, faces, origin, dirs, max_range: float = 120.0,
+               block: int = 4096):
+    """Möller–Trumbore nearest-hit for arbitrary ray directions."""
+    v0 = verts[faces[:, 0]]
+    e1 = verts[faces[:, 1]] - v0
+    e2 = verts[faces[:, 2]] - v0
+    hits = []
+    for s in range(0, len(dirs), block):
+        d = dirs[s:s + block]
+        p = np.cross(d[:, None, :], e2[None, :, :])
+        det = np.einsum("fk,rfk->rf", e1, p)
+        inv = np.where(np.abs(det) > 1e-12, 1.0 / det, 0.0)
+        t0 = origin - v0
+        u = np.einsum("fk,rfk->rf", t0, p) * inv
+        q = np.cross(t0[None, :, :], e1[None, :, :])
+        qb = np.broadcast_to(q, (len(d),) + q.shape[1:])
+        vv = np.einsum("rk,rfk->rf", d, qb) * inv
+        t = np.einsum("fk,rfk->rf", e2, qb) * inv
+        ok = (np.abs(det) > 1e-12) & (u >= 0) & (vv >= 0) & (u + vv <= 1) & \
+            (t > 1e-6) & (t < max_range)
+        t = np.where(ok, t, np.inf)
+        tmin = t.min(axis=1)
+        hit = np.isfinite(tmin)
+        hits.append(origin + d[hit] * tmin[hit, None])
+    return np.concatenate(hits).astype(np.float32) if hits else \
+        np.zeros((0, 3), np.float32)
+
+
+def frames_from_infos(infos, lidar_height: float = 2.4,
+                      min_car_width: float = 1.5):
+    """OpenPCDet-style infos -> per-frame car/sign pose lists (reference
+    get_frames, dataset_functions.py:345-377): Vehicle boxes (width filter
+    drops forklift arms), Sign boxes, z shifted to ground frame."""
+    frames = []
+    for info in infos:
+        annos = info["annos"]
+        names = np.asarray(annos["name"])
+        boxes = np.asarray(annos["gt_boxes_lidar"], np.float64)
+        cars = boxes[(names == "Vehicle") | (names == "Car")]
+        if len(cars) == 0:
+            continue
+        cars = cars[cars[:, 4] > min_car_width]
+        if len(cars) == 0:
+            continue
+        cars = cars.copy()
+        cars[:, 2] -= lidar_height
+        signs = boxes[names == "Sign"].copy()
+        if len(signs):
+            signs[:, 2] -= lidar_height
+        frames.append({"cars": cars, "signs": signs})
+    return frames
+
+
+def generate_vc_dataset_scenes(mesh_paths, frames, out_dir: str,
+                               nviews: int = 20, n_complete: int = 16384,
+                               min_pts: int = 30, max_pts: int = 50000,
+                               height_px: int = 160, rng=None, logger=print):
+    """Scene-level VC-ShapeNet generation (reference generate_dataset,
+    dataset_functions.py:378-462): every frame's car poses get meshes
+    assigned round-robin (least-exported first), the populated scene is
+    raycast once per car with a random FOV, points inside the car's box form
+    the partial view; export until every model has ``nviews`` views."""
+    rng = rng or np.random.default_rng(0)
+    models = []
+    for mi, path in enumerate(mesh_paths):
+        verts, faces = load_obj(path)
+        verts = normalize_car_mesh(verts)
+        models.append({"id": f"model{mi:04d}", "verts": verts, "faces": faces,
+                       "dims": verts.max(0) - verts.min(0)})
+    exported = {m["id"]: 0 for m in models}
+    labels = {m["id"]: {} for m in models}
+
+    for frame in frames:
+        if all(v >= nviews for v in exported.values()):
+            break
+        # least-exported models take the frame's poses
+        order = sorted(models, key=lambda m: exported[m["id"]])
+        scene_cars = []
+        for pose, model in zip(frame["cars"], order):
+            # transform_mesh scales uniformly so the mesh length fills the
+            # box length; the (centered) mesh lands with its center at pose
+            # xyz, so the gt box is pose xyz + uniformly scaled mesh dims
+            placed = transform_mesh(model["verts"], pose)
+            s = pose[3] / model["dims"][0]
+            gtbox = np.array([pose[0], pose[1], pose[2], pose[3],
+                              model["dims"][1] * s, model["dims"][2] * s,
+                              pose[6]], np.float64)
+            scene_cars.append({"verts": placed, "faces": model["faces"],
+                               "gtbox": gtbox, "model": model})
+        sverts, sfaces = populate_scene(
+            scene_cars, frame.get("signs"), rng=rng)
+
+        for car in scene_cars:
+            model = car["model"]
+            mid = model["id"]
+            if exported[mid] >= nviews:
+                continue
+            fov = float(np.clip(rng.normal(60, 30), 20, 120))
+            ray_pts = cast_rays_at_point(sverts, sfaces, car["gtbox"][:3],
+                                         fov_deg=fov, height_px=height_px)
+            obj_pts = ray_pts[points_in_box7(ray_pts, car["gtbox"])] \
+                if len(ray_pts) else ray_pts
+            if not (min_pts < len(obj_pts) < max_pts):
+                continue
+            view = exported[mid]
+            model_dir = os.path.join(out_dir, mid)
+            os.makedirs(os.path.join(model_dir, "partial"), exist_ok=True)
+            key = f"{view:03d}"
+            np.save(os.path.join(model_dir, "partial", key + ".npy"), obj_pts)
+            labels[mid][key] = {
+                "gtbox": car["gtbox"].astype(np.float32),
+                "bbox_pts": np.concatenate(
+                    [_box_corners_bev(car["gtbox"]),
+                     np.zeros((4, 1))], axis=1).astype(np.float32),
+                "num_pts": len(obj_pts), "raycasting": fov}
+            exported[mid] += 1
+
+    for model in models:
+        mid = model["id"]
+        if not labels[mid]:
+            continue
+        model_dir = os.path.join(out_dir, mid)
+        os.makedirs(model_dir, exist_ok=True)
+        complete = sample_surface(model["verts"], model["faces"], n_complete,
+                                  np.random.default_rng(1))
+        np.save(os.path.join(model_dir, "complete.npy"), complete)
+        with open(os.path.join(model_dir, "labels.pkl"), "wb") as f:
+            pickle.dump(labels[mid], f)
+        logger(f"{mid}: {exported[mid]} views")
+    return exported
+
+
 def generate_vc_dataset(mesh_paths, poses, out_dir: str, views_per_pose: int = 1,
                         n_complete: int = 16384, min_partial_pts: int = 30,
                         rng=None, logger=print):

@@ -374,6 +374,60 @@ def load_detector_checkpoint(path: str, model_name: str = "SECONDNetIoU") -> dic
     return detector_variables_from_torch(sd, model_name)
 
 
+def deeplabv3_variables_from_torch(state_dict, num_classes: int) -> dict:
+    """torchvision deeplabv3_resnet50/101 state dict -> variables for
+    models.modules.ddn.DDNDeepLabV3 (the CaDDN image backbone; reference
+    loads these exact dicts in ddn_template.py get_model). The final
+    classifier conv (``classifier.4``) is dropped when its class count
+    differs, mirroring filter_pretrained_dict (ddn_template.py:86-106);
+    the returned tree then simply omits it and the caller keeps its
+    random init for that leaf.
+    """
+    sd = state_dict_to_numpy(state_dict)
+    params, stats = {}, {}
+
+    def put(tree_p, tree_s, my, conv_key=None, bn_key=None, bias=False):
+        if conv_key is not None:
+            tree_p[my[0]] = conv2d_to_conv(sd, conv_key, has_bias=bias)
+        if bn_key is not None:
+            tree_p[my[1]], tree_s[my[1]] = bn_split(sd, bn_key)
+
+    bb_p, bb_s = {}, {}
+    put(bb_p, bb_s, ("conv1", "bn1"), "backbone.conv1", "backbone.bn1")
+    for si in range(1, 5):
+        bi = 0
+        while f"backbone.layer{si}.{bi}.conv1.weight" in sd:
+            blk_p, blk_s = {}, {}
+            tp = f"backbone.layer{si}.{bi}"
+            for c in (1, 2, 3):
+                put(blk_p, blk_s, (f"conv{c}", f"bn{c}"),
+                    f"{tp}.conv{c}", f"{tp}.bn{c}")
+            if f"{tp}.downsample.0.weight" in sd:
+                put(blk_p, blk_s, ("downsample_conv", "downsample_bn"),
+                    f"{tp}.downsample.0", f"{tp}.downsample.1")
+            bb_p[f"layer{si}_{bi}"] = blk_p
+            bb_s[f"layer{si}_{bi}"] = blk_s
+            bi += 1
+    params["backbone"], stats["backbone"] = bb_p, bb_s
+
+    # ASPP: classifier.0.convs.{0..3} = Conv+BN(+ReLU); convs.4 = ASPPPooling
+    # (pool, Conv, BN, ReLU); project = Conv+BN(+ReLU+Dropout)
+    as_p, as_s = {}, {}
+    for i in range(4):
+        put(as_p, as_s, (f"conv{i}", f"bn{i}"),
+            f"classifier.0.convs.{i}.0", f"classifier.0.convs.{i}.1")
+    put(as_p, as_s, ("pool_conv", "pool_bn"),
+        "classifier.0.convs.4.1", "classifier.0.convs.4.2")
+    put(as_p, as_s, ("project", "project_bn"),
+        "classifier.0.project.0", "classifier.0.project.1")
+    params["aspp"], stats["aspp"] = as_p, as_s
+
+    put(params, stats, ("head_conv", "head_bn"), "classifier.1", "classifier.2")
+    if sd["classifier.4.weight"].shape[0] == num_classes:
+        params["classifier"] = conv2d_to_conv(sd, "classifier.4", has_bias=True)
+    return {"params": params, "batch_stats": stats}
+
+
 # ---------------------------------------------------------------------------
 # export: flax variables -> reference-layout state dicts (.pth writers use
 # these so reference tooling can consume checkpoints we train)

@@ -108,3 +108,88 @@ def test_normalize_object_pose_and_object_scaling():
                 np.linalg.norm(pts - box[:3], axis=1).mean()
             break
     assert done, "scaling never enabled in 20 tries"
+
+
+def test_populate_scene_and_occlusion(tmp_path):
+    """Scene generation (reference dataset_functions.py:265-462): poses from
+    real-frame infos, pole/sign distractors, occlusion-aware raycast."""
+    p = tmp_path / "cube.obj"
+    _make_cube_obj(str(p))
+    verts, faces = VS.load_obj(str(p))
+    verts = VS.normalize_car_mesh(verts)
+
+    # a car directly behind another (same bearing) must lose points
+    near = np.array([8, 0, 0, 4.2, 0, 0, 0.0])
+    far = np.array([20, 0, 0, 4.2, 0, 0, 0.0])
+    cars = []
+    for pose in (near, far):
+        placed = VS.transform_mesh(verts, pose)
+        dims = verts.max(0) - verts.min(0)
+        s = pose[3] / dims[0]
+        cars.append({"verts": placed, "faces": faces,
+                     "gtbox": np.array([*pose[:3], pose[3], dims[1] * s,
+                                        dims[2] * s, pose[6]])})
+    sverts, sfaces = VS.populate_scene(cars, rng=np.random.default_rng(0),
+                                       random_poles_pct=0.0)
+    rays = VS.cast_rays_at_point(sverts, sfaces, far[:3], fov_deg=60,
+                                 height_px=80)
+    far_pts = rays[VS.points_in_box7(rays, cars[1]["gtbox"])]
+    # occluded: the far car is fully shadowed by the near one
+    solo = VS.cast_rays_at_point(cars[1]["verts"], faces, far[:3],
+                                 fov_deg=60, height_px=80)
+    assert len(far_pts) < 0.3 * len(solo)
+
+    # poles add geometry
+    v2, f2 = VS.populate_scene(cars, sign_boxes=np.array([[5, 5, 0, .2, .2, 2, 0]]),
+                               rng=np.random.default_rng(0), random_poles_pct=1.0)
+    assert len(v2) > len(sverts) and len(f2) > len(sfaces)
+
+
+def test_frames_from_infos_filters():
+    infos = [
+        {"annos": {"name": np.array(["Vehicle", "Vehicle", "Sign", "Cyclist"]),
+                   "gt_boxes_lidar": np.array([
+                       [10, 0, 1, 4.2, 1.9, 1.6, 0.0],
+                       [12, 2, 1, 4.0, 1.0, 1.5, 0.3],   # width<1.5: dropped
+                       [5, 5, 1, 0.3, 0.3, 0.6, 0.0],
+                       [3, 1, 1, 1.8, 0.6, 1.7, 0.0]])}},
+        {"annos": {"name": np.array(["Pedestrian"]),
+                   "gt_boxes_lidar": np.zeros((1, 7))}},
+    ]
+    frames = VS.frames_from_infos(infos, lidar_height=2.4)
+    assert len(frames) == 1
+    assert frames[0]["cars"].shape == (1, 7)
+    np.testing.assert_allclose(frames[0]["cars"][0, 2], 1 - 2.4)
+    assert frames[0]["signs"].shape == (1, 7)
+
+
+def test_generate_scene_dataset_consumable(tmp_path):
+    from seevcn_tpu.models.vcn.dataset import VCDataset
+
+    p = tmp_path / "cube.obj"
+    _make_cube_obj(str(p))
+    frames = [{"cars": np.array([[9, 1.5, 0, 4.2, 1.9, 1.5, 0.2],
+                                 [14, -4, 0, 4.0, 1.8, 1.5, -0.5]]),
+               "signs": np.array([[6, 6, 0, 0.3, 0.3, 0.6, 0.0]])},
+              {"cars": np.array([[11, -2, 0, 4.1, 1.8, 1.5, 1.0]]),
+               "signs": np.zeros((0, 7))},
+              {"cars": np.array([[7, 3, 0, 4.3, 1.9, 1.5, -1.2]]),
+               "signs": np.zeros((0, 7))}]
+    out = tmp_path / "vcs"
+    exported = VS.generate_vc_dataset_scenes(
+        [str(p)], frames, str(out), nviews=3, n_complete=512,
+        height_px=64, min_pts=10, logger=lambda s: None)
+    assert exported["model0000"] == 3
+    ds = VCDataset(str(out), n_points=128, n_complete=256)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["input"].shape == (128, 3)
+    # partial points sit inside the gt box (+slack)
+    gtb = np.asarray(item["gt_boxes"])
+    import pickle
+    with open(out / "model0000" / "labels.pkl", "rb") as f:
+        labels = pickle.load(f)
+    for k, lab in labels.items():
+        pts = np.load(out / "model0000" / "partial" / (k + ".npy"))
+        assert VS.points_in_box7(pts, lab["gtbox"]).all()
+        assert lab["num_pts"] == len(pts)
