@@ -97,11 +97,16 @@ def main(argv=None):
         print(f"detected {len(boxes)} objects")
 
     from ..utils.viz import save_bev
+    from ..utils.viz3d import save_scene_html
 
     path = save_bev(os.path.join(args.out, f"frame_{args.frame:06d}.png"),
                     frame_points, boxes=boxes, scores=scores,
                     completed=completed_pts)
     print(f"wrote {path}")
+    html = save_scene_html(
+        os.path.join(args.out, f"frame_{args.frame:06d}.html"),
+        frame_points, ref_boxes=boxes, ref_scores=scores)
+    print(f"wrote {html}")
 
 
 if __name__ == "__main__":

@@ -100,8 +100,10 @@ def coco_stream(cfg, batch, root, seed):
             im = images[ii]
             raw = cv2.imread(os.path.join(root, im["file_name"]))[..., ::-1]
             h0, w0 = raw.shape[:2]
+            from ..models.seg2d.backend import IMAGENET_MEAN, IMAGENET_STD
+
             imgs[bi] = (cv2.resize(raw, (w, h)).astype(np.float32) / 255.0
-                        - 0.5) / 0.25
+                        - IMAGENET_MEAN) / IMAGENET_STD
             sx, sy = w / w0, h / h0
             for k, a in enumerate(by_img[im["id"]][:cfg.max_gt]):
                 x, y, bw, bh = a["bbox"]

@@ -180,16 +180,88 @@ class SCCustomDataset(CustomDataset):
 
 class NuScenesDataset(_InfosDataset):
     """nuScenes (nuscenes_dataset.py): infos carry gt_boxes/gt_names and a
-    lidar_path; EVAL_METRIC 'nuscenes' runs the native NDS evaluator
+    lidar_path; MAX_SWEEPS aggregates past sweeps into the frame cloud with
+    a time-lag channel (get_lidar_with_sweeps, nuscenes_dataset.py:93-110);
+    BALANCED_RESAMPLING applies CBGS class-balanced info resampling at train
+    time (:40-65). EVAL_METRIC 'nuscenes' runs the native NDS evaluator
     (nuscenes_eval.py, devkit-free), 'kitti' the KITTI protocol (the
     reference's DA configs' choice, nuscenes_dataset.py:334-351)."""
 
+    def __init__(self, dataset_cfg, class_names, training, root_path=None, **kw):
+        super().__init__(dataset_cfg, class_names, training, root_path, **kw)
+        if training and dataset_cfg.get("BALANCED_RESAMPLING", False):
+            self.infos = self.balanced_infos_resampling(self.infos)
+
+    def balanced_infos_resampling(self, infos, rng=None):
+        """CBGS (arXiv 1908.09492): duplicate infos so every class's frame
+        share approaches 1/num_classes (nuscenes_dataset.py:40-65)."""
+        if not self.class_names or not infos:
+            return infos
+        rng = rng or np.random.RandomState(
+            int(self.dataset_cfg.get("RESAMPLING_SEED", 0)))
+        cls_infos = {name: [] for name in self.class_names}
+        for info in infos:
+            names = info.get("gt_names")
+            if names is None:
+                names = info.get("annos", {}).get("name", [])
+            for name in set(np.asarray(names).tolist()):
+                if name in cls_infos:
+                    cls_infos[name].append(info)
+        duplicated = sum(len(v) for v in cls_infos.values())
+        if duplicated == 0:
+            return infos
+        frac = 1.0 / len(self.class_names)
+        sampled = []
+        for v in cls_infos.values():
+            if not v:
+                continue
+            ratio = frac / (len(v) / duplicated)
+            sampled += [v[i] for i in rng.choice(len(v),
+                                                 int(len(v) * ratio))]
+        return sampled or infos
+
+    def _read_bin5(self, rel) -> np.ndarray:
+        path = rel if os.path.isabs(rel) else os.path.join(self.root_path, rel)
+        return np.fromfile(path, dtype=np.float32).reshape(-1, 5)[:, :4]
+
+    def get_sweep(self, sweep_info):
+        """One past sweep -> (points in ref frame, time lags)
+        (nuscenes_dataset.py:77-91): drop ego-radius points, apply the
+        precomputed relative transform."""
+        pts = self._read_bin5(sweep_info["lidar_path"])
+        keep = ~((np.abs(pts[:, 0]) < 1.0) & (np.abs(pts[:, 1]) < 1.0))
+        pts = pts[keep]
+        tm = sweep_info.get("transform_matrix")
+        if tm is not None:
+            hom = np.hstack([pts[:, :3], np.ones((len(pts), 1), pts.dtype)])
+            pts = np.hstack([(hom @ np.asarray(tm, np.float32).T)[:, :3],
+                             pts[:, 3:4]])
+        times = np.full((len(pts), 1), sweep_info["time_lag"], pts.dtype)
+        return pts, times
+
     def get_lidar(self, info) -> np.ndarray:
-        path = info["lidar_path"]
-        if not os.path.isabs(path):
-            path = os.path.join(self.root_path, path)
-        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
-        return pts[:, :4]
+        points = self._read_bin5(info["lidar_path"])
+        max_sweeps = int(self.dataset_cfg.get("MAX_SWEEPS", 1))
+        sweeps = info.get("sweeps", [])
+        if max_sweeps <= 1 or not sweeps:
+            if self._wants_timestamp():
+                return np.hstack([points,
+                                  np.zeros((len(points), 1), points.dtype)])
+            return points
+        pts_list = [points]
+        times = [np.zeros((len(points), 1), points.dtype)]
+        rng = np.random.RandomState(len(sweeps))
+        for k in rng.choice(len(sweeps), min(max_sweeps - 1, len(sweeps)),
+                            replace=False):
+            p, t = self.get_sweep(sweeps[k])
+            pts_list.append(p)
+            times.append(t)
+        return np.hstack([np.vstack(pts_list),
+                          np.vstack(times).astype(points.dtype)])
+
+    def _wants_timestamp(self) -> bool:
+        enc = self.dataset_cfg.get("POINT_FEATURE_ENCODING", {})
+        return "timestamp" in list(enc.get("used_feature_list", []))
 
     def evaluation(self, det_annos, class_names, **kw):
         if self.dataset_cfg.get("EVAL_METRIC", "kitti") == "nuscenes":

@@ -138,8 +138,21 @@ def synth_scene(h, w, rng, max_gt=8, n_cars=None, min_pixels=24):
         k += 1
 
     img = np.clip(img, 0, 1)
-    img = (img - 0.5) / 0.25                 # zero-mean, ~unit scale
+    # normalize exactly like backend.JaxMaskRCNNBackend so checkpoints
+    # trained here run unchanged through generate_masks --backend jax
+    from .backend import IMAGENET_MEAN, IMAGENET_STD
+
+    img = (img - IMAGENET_MEAN) / IMAGENET_STD
     return img.astype(np.float32), boxes, labels, valid, masks
+
+
+def scene_to_bgr(img_norm: np.ndarray) -> np.ndarray:
+    """Invert the normalization -> uint8 BGR (what generate_masks feeds the
+    backend), for tests that drive the full mask-generation interface."""
+    from .backend import IMAGENET_MEAN, IMAGENET_STD
+
+    rgb = np.clip(img_norm * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
+    return (rgb[..., ::-1] * 255).astype(np.uint8)
 
 
 def synth_batch(rng, image_size, batch, max_gt=8):

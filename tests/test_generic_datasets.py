@@ -102,3 +102,68 @@ def test_waymo_dataset(tmp_path):
     ds = build_dataset(cfg, ["Vehicle"], training=False, max_points=400, max_boxes=4)
     assert len(ds) == 2
     assert ds[1]["gt_mask"].sum() == 1
+
+
+def test_nuscenes_sweep_aggregation(tmp_path):
+    """MAX_SWEEPS sweep merge with relative transforms + time-lag channel
+    (reference get_lidar_with_sweeps, nuscenes_dataset.py:77-110)."""
+    os.makedirs(tmp_path / "samples", exist_ok=True)
+    main = np.array([[10, 0, 0, 0.5, 0],
+                     [0.5, 0.5, 0, 0.5, 0]], np.float32)   # 2nd is ego-radius
+    main.tofile(tmp_path / "samples" / "main.bin")
+    sweep = np.array([[1, 2, 3, 0.7, 0],
+                      [0.2, -0.2, 0, 0.1, 0]], np.float32)  # 2nd ego-dropped
+    sweep.tofile(tmp_path / "samples" / "sweep.bin")
+    tm = np.eye(4); tm[:3, 3] = [100, 0, 0]                 # shift x by 100
+    infos = [{"token": "t0", "lidar_path": "samples/main.bin",
+              "sweeps": [{"lidar_path": "samples/sweep.bin",
+                          "transform_matrix": tm, "time_lag": 0.45}],
+              "gt_boxes": np.zeros((0, 7), np.float32),
+              "gt_names": np.array([], dtype="<U8")}]
+    with open(tmp_path / "infos.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    cfg = _cfg("NuScenesDataset", tmp_path, MAX_SWEEPS=2)
+    cfg.POINT_FEATURE_ENCODING = Cfg(
+        {"used_feature_list": ["x", "y", "z", "timestamp"],
+         "src_feature_list": ["x", "y", "z", "intensity", "timestamp"]})
+    ds = build_dataset(cfg, ["car"], training=False, max_points=10, max_boxes=2)
+    pts = ds.get_lidar(ds.infos[0])
+    assert pts.shape == (3, 5)            # 2 main (ego kept for ref frame) + 1 sweep
+    # sweep point transformed into the ref frame, time lag attached
+    sw = pts[pts[:, 4] > 0]
+    assert sw.shape == (1, 5)
+    np.testing.assert_allclose(sw[0, :3], [101, 2, 3], atol=1e-5)
+    np.testing.assert_allclose(sw[0, 4], 0.45, atol=1e-6)
+    # main points carry zero lag
+    assert (pts[pts[:, 4] == 0][:, 0] <= 10).all()
+
+
+def test_nuscenes_balanced_resampling(tmp_path):
+    """CBGS resampling evens out class frame counts
+    (nuscenes_dataset.py:40-65)."""
+    os.makedirs(tmp_path / "samples", exist_ok=True)
+    pts = np.zeros((10, 5), np.float32)
+    pts.tofile(tmp_path / "samples" / "p.bin")
+    infos = []
+    for i in range(20):
+        name = "car" if i < 18 else "truck"
+        infos.append({"token": f"t{i}", "lidar_path": "samples/p.bin",
+                      "gt_boxes": np.array([[5, 0, 0, 4, 2, 1.6, 0]],
+                                           np.float32),
+                      "gt_names": np.array([name])})
+    with open(tmp_path / "infos_train.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    cfg = _cfg("NuScenesDataset", tmp_path, BALANCED_RESAMPLING=True,
+               INFO_PATH={"train": ["infos_train.pkl"], "test": []})
+    ds = build_dataset(cfg, ["car", "truck"], training=True, max_points=16,
+                       max_boxes=2)
+    names = [str(info["gt_names"][0]) for info in ds.infos]
+    n_car, n_truck = names.count("car"), names.count("truck")
+    # raw ratio is 9:1; resampling must bring it near 1:1
+    assert n_truck > 0.5 * n_car, (n_car, n_truck)
+    # without the flag the imbalance stays
+    cfg2 = _cfg("NuScenesDataset", tmp_path,
+                INFO_PATH={"train": ["infos_train.pkl"], "test": []})
+    ds2 = build_dataset(cfg2, ["car", "truck"], training=True, max_points=16,
+                        max_boxes=2)
+    assert len(ds2.infos) == 20
