@@ -7,8 +7,15 @@ process pool; here a single process drives the batched device pipeline
 (frames stream through one jitted program), which is the TPU-shaped
 equivalent.
 
+With --workers N the frame loop becomes a thread pool — the TPU-shaped
+analog of the reference's torch.multiprocessing Pool (sc_multiproc.py:65-94):
+host I/O (cloud/mask load, projection, pcd write) overlaps across frames
+while the device stage serializes naturally on the chip (JAX dispatch is
+thread-safe; outputs are disjoint files, so resume-by-file still holds).
+
 Usage:
   python -m seevcn_tpu.cli.run_see --cfg_file <SEE yaml> [--frames N]
+                                   [--workers 4]
 """
 from __future__ import annotations
 
@@ -25,6 +32,8 @@ def parse_args(argv=None):
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--path", default="det", choices=["gt", "det"])
     p.add_argument("--save_dir", default=None)
+    p.add_argument("--workers", type=int, default=1,
+                   help="frame-level worker threads (sc_multiproc analog)")
     return p.parse_args(argv)
 
 
@@ -59,17 +68,17 @@ def main(argv=None):
 
     n = args.frames or len(data_obj)
 
-    t_frames = []
-    for idx in range(n):
+    def frame_out_path(idx):
         if args.save_dir:
-            out_path = os.path.join(args.save_dir,
-                                    f"{data_obj.frames[idx]}.pcd")
-        else:
-            # adapter-defined location (e.g. training/vcn_<tag>/<frame>)
-            out_path = data_obj.get_save_fname(idx) + ".pcd"
+            return os.path.join(args.save_dir, f"{data_obj.frames[idx]}.pcd")
+        # adapter-defined location (e.g. training/vcn_<tag>/<frame>)
+        return data_obj.get_save_fname(idx) + ".pcd"
+
+    def process_one(idx):
+        out_path = frame_out_path(idx)
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         if os.path.exists(out_path):  # resume-by-file (sc_multiproc.py:20-25)
-            continue
+            return None
         t0 = time.time()
         if args.path == "det":
             completed = see.process_det_frame(idx)
@@ -77,8 +86,18 @@ def main(argv=None):
             completed = see.process_gt_frame(data_obj.get_pointcloud(idx),
                                              data_obj.get_gt_boxes(idx))
         write_pcd(out_path, completed)
-        t_frames.append(time.time() - t0)
-        print(f"frame {idx}: {t_frames[-1]:.3f}s -> {out_path}")
+        dt = time.time() - t0
+        print(f"frame {idx}: {dt:.3f}s -> {out_path}", flush=True)
+        return dt
+
+    if args.workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.workers) as pool:
+            t_frames = [t for t in pool.map(process_one, range(n))
+                        if t is not None]
+    else:
+        t_frames = [t for t in map(process_one, range(n)) if t is not None]
     if t_frames:
         print(f"avg time/frame: {np.mean(t_frames):.3f}s over {len(t_frames)} frames")
     if hasattr(data_obj, "update_infos"):

@@ -473,3 +473,32 @@ def test_baraja_see_cli_end_to_end(tmp_path):
         max_points=8192, max_boxes=4)
     item = ds[0]
     assert item["points_valid"].sum() > 500
+
+
+@pytest.mark.slow
+def test_run_see_threaded_workers(tmp_path):
+    """--workers N (sc_multiproc pool analog): same outputs as the serial
+    loop, resume-by-file preserved."""
+    from seevcn_tpu.cli import run_see
+    from seevcn_tpu.geom.pcd_io import read_pcd
+
+    rng = np.random.RandomState(3)
+    _make_nuscenes_see_tree(tmp_path, rng)
+    cfg_path = _see_cfg(tmp_path, {
+        "DATASET": "nuscenes", "DATA_DIR": str(tmp_path),
+        "VERSION": "v1.0-mini", "CAMERA_CHANNELS": ["CAM_FRONT"],
+        "CLASSES": ["car"], "LIDAR_NSWEEPS": 1, "TAG": "W", "SPLIT": "train",
+        "INFO_PATHS": {"train": "nuscenes_infos_train.pkl"},
+    }, _vcn_ckpt(tmp_path, rng), "nuscenes")
+
+    run_see.main(["--cfg_file", str(cfg_path), "--path", "det",
+                  "--workers", "3"])
+    pcds = sorted((tmp_path / "samples" / "vcn_W").glob("*.pcd"))
+    assert len(pcds) == 2
+    first = {p.name: read_pcd(str(p)).copy() for p in pcds}
+
+    # rerun resumes by file: contents unchanged
+    run_see.main(["--cfg_file", str(cfg_path), "--path", "det",
+                  "--workers", "3"])
+    for p in pcds:
+        np.testing.assert_array_equal(read_pcd(str(p)), first[p.name])
