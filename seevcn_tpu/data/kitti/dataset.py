@@ -73,12 +73,68 @@ class KittiDataset(DatasetTemplate):
             return boxes, annos["name"][mask]
         return boxes, annos["name"][mask]
 
+    # camera-side items for CaDDN (kitti_dataset.py:68-99, 411-462) -------
+    def get_image(self, idx) -> np.ndarray:
+        """RGB float [0, 1] (get_image:68-82)."""
+        import cv2
+
+        img = cv2.imread(os.path.join(self.root_split_path, "image_2",
+                                      f"{idx}.png"))
+        return img[:, :, ::-1].astype(np.float32) / 255.0
+
+    def get_depth_map(self, idx) -> np.ndarray:
+        """Depth in meters from the uint16 KITTI depth PNG (value/256,
+        get_depth_map:93-99)."""
+        import cv2
+
+        d = cv2.imread(os.path.join(self.root_split_path, "depth_2",
+                                    f"{idx}.png"), cv2.IMREAD_UNCHANGED)
+        return d.astype(np.float32) / 256.0
+
+    @staticmethod
+    def _pad_hw(arr, shape):
+        """Bottom/right zero-pad to a static (H, W[, C]) for TPU batching
+        (the reference pads in collate_batch via kornia pad)."""
+        h, w = shape
+        out = np.zeros((h, w) + arr.shape[2:], arr.dtype)
+        ch, cw = min(h, arr.shape[0]), min(w, arr.shape[1])
+        out[:ch, :cw] = arr[:ch, :cw]
+        return out
+
     def __getitem__(self, index):
         info = self.infos[index]
         points = self.get_lidar(info)
+        calib = None
+        if self.dataset_cfg.get("FOV_POINTS_ONLY", False):
+            calib = self.get_calib(info)
+            img_shape = np.asarray(info.get("image", {}).get(
+                "image_shape", (375, 1242)))
+            uv, depth = calib.lidar_to_img(points[:, :3])
+            fov = ((uv[:, 0] >= 0) & (uv[:, 0] < img_shape[1])
+                   & (uv[:, 1] >= 0) & (uv[:, 1] < img_shape[0])
+                   & (depth > 0))
+            points = points[fov]
         boxes, names = self.get_gt(info)
         out = self.prepare_frame(points, boxes, names, rng_seed=index)
         out["frame_id"] = info["point_cloud"]["lidar_idx"]
+
+        items = list(self.dataset_cfg.get("GET_ITEM_LIST", ["points"]))
+        if "images" in items or "depth_maps" in items or \
+                "calib_matricies" in items:
+            idx = info["point_cloud"]["lidar_idx"]
+            pad = tuple(self.dataset_cfg.get("IMAGE_PAD_SHAPE", (384, 1280)))
+            if "images" in items:
+                out["images"] = self._pad_hw(self.get_image(idx), pad)
+            if "depth_maps" in items:
+                out["depth_maps"] = self._pad_hw(self.get_depth_map(idx), pad)
+            if "calib_matricies" in items:
+                calib = calib or self.get_calib(info)
+                v2c = np.eye(4, dtype=np.float32)
+                v2c[:3, :4] = calib.V2C
+                r0 = np.eye(4, dtype=np.float32)
+                r0[:3, :3] = calib.R0
+                out["trans_lidar_to_cam"] = (r0 @ v2c).astype(np.float32)
+                out["trans_cam_to_img"] = calib.P2.astype(np.float32)
         return out
 
     # ------------------------------------------------------------------ #

@@ -337,3 +337,62 @@ def test_waymo_shared_memory_cache(tmp_path):
     p2 = ds.get_lidar(infos[0])
     np.testing.assert_array_equal(p1, p2)
     sa_delete(f"{seq}__0")
+
+
+def test_kitti_get_item_list_camera_items(tmp_path):
+    """GET_ITEM_LIST images/depth_maps/calib_matricies + FOV_POINTS_ONLY
+    (reference kitti_dataset.py:411-462) — the CaDDN input path."""
+    import cv2
+    from seevcn_tpu.data.kitti.dataset import KittiDataset
+
+    root = tmp_path
+    os.makedirs(root / "training" / "velodyne", exist_ok=True)
+    os.makedirs(root / "training" / "image_2", exist_ok=True)
+    os.makedirs(root / "training" / "depth_2", exist_ok=True)
+    # points ahead (in FOV) and behind (culled)
+    pts = np.array([[10, 0, 0, 0.5], [12, 1, 0, 0.5],
+                    [-5, 0, 0, 0.5]], np.float32)
+    pts.tofile(root / "training" / "velodyne" / "000001.bin")
+    img = np.full((100, 200, 3), 128, np.uint8)
+    cv2.imwrite(str(root / "training" / "image_2" / "000001.png"), img)
+    depth = (np.full((100, 200), 7.25) * 256).astype(np.uint16)
+    cv2.imwrite(str(root / "training" / "depth_2" / "000001.png"), depth)
+
+    info = {
+        "point_cloud": {"lidar_idx": "000001"},
+        "image": {"image_shape": np.array([100, 200])},
+        "calib": {"P2": np.array([[50, 0, 100, 0], [0, 50, 50, 0],
+                                  [0, 0, 1, 0], [0, 0, 0, 1.0]]),
+                  "R0_rect": np.eye(4),
+                  "Tr_velo_to_cam": np.array(
+                      [[0, -1, 0, 0], [0, 0, -1, 0],
+                       [1, 0, 0, 0], [0, 0, 0, 1.0]])},
+        "annos": {"name": np.array(["Car"]),
+                  "gt_boxes_lidar": np.array([[10, 0, 0, 4, 2, 1.5, 0.0]]),
+                  "num_points_in_gt": np.array([2])},
+    }
+    with open(root / "infos_val.pkl", "wb") as f:
+        pickle.dump([info], f)
+
+    cfg = _ds_cfg(DATA_PATH=str(root),
+                  INFO_PATH={"train": [], "test": ["infos_val.pkl"]},
+                  GET_ITEM_LIST=["points", "images", "depth_maps",
+                                 "calib_matricies"],
+                  FOV_POINTS_ONLY=True,
+                  IMAGE_PAD_SHAPE=(128, 256))
+    ds = KittiDataset(cfg, ["Car"], training=False, root_path=str(root),
+                      max_points=16, max_boxes=4)
+    item = ds[0]
+    # behind-camera point culled by FOV filter
+    assert int(item["points_valid"].sum()) == 2
+    assert item["images"].shape == (128, 256, 3)
+    np.testing.assert_allclose(item["images"][:100, :200],
+                               128 / 255.0, atol=1e-3)
+    np.testing.assert_allclose(item["images"][100:], 0.0)
+    assert item["depth_maps"].shape == (128, 256)
+    np.testing.assert_allclose(item["depth_maps"][:100, :200], 7.25)
+    assert item["trans_lidar_to_cam"].shape == (4, 4)
+    np.testing.assert_allclose(
+        item["trans_lidar_to_cam"][:3, :4],
+        np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0.0]]))
+    assert item["trans_cam_to_img"].shape == (3, 4)
