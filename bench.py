@@ -1,13 +1,15 @@
 """Benchmark: end-to-end SEE-VCN inference pipeline, frames/sec/chip.
 
 Measures the device path of BASELINE config 1/3 on one chip at the
-REFERENCE'S eval capacity: per frame, VCN surface completion of 32 isolated
-objects (forward + partial-mesh + largest-cluster) followed by the
-SECOND-IoU detector (in-jit voxelization -> sparse backbone -> BEV ->
-anchor head -> IoU rcnn -> NMS) at the sc_kitti eval budget — 150k-point
-cloud, voxel [0.1, 0.1, 0.15], 90,000 max voxels
-(sc_kitti_dataset.yaml:31-37) — with the source-waymo/second_iou.yaml
-MODEL block.
+REFERENCE'S eval capacity AND eval batch size: per frame, VCN surface
+completion of 32 isolated objects (forward + partial-mesh +
+largest-cluster) followed by the SECOND-IoU detector (in-jit voxelization
+-> sparse backbone -> BEV -> anchor head -> IoU rcnn -> NMS) at the
+sc_kitti eval budget — 150k-point cloud, voxel [0.1, 0.1, 0.15], 90,000
+max voxels (sc_kitti_dataset.yaml:31-37) — with the
+source-waymo/second_iou.yaml MODEL block, batched at that config's own
+eval batch size (BATCH_SIZE_PER_GPU: 4, second_iou.yaml:171; the
+reference's tools/test.py:147 evaluates at the same batch).
 
 vs_baseline: the reference repo publishes NO benchmark numbers
 (BASELINE.md) and its CUDA stack cannot run in this environment, so no
@@ -31,12 +33,13 @@ def main():
     from seevcn_tpu.ops.sampling import partial_mesh_batch
 
     rng = np.random.RandomState(0)
+    B = 4                        # reference eval batch (second_iou.yaml:171)
 
     # --- VCN stage: 32 objects/frame -------------------------------------
     vcn = build_vcn("VCN_VC")
-    obj_pts = jnp.asarray(rng.randn(32, 1024, 3).astype(np.float32) * 1.5
+    obj_pts = jnp.asarray(rng.randn(32 * B, 1024, 3).astype(np.float32) * 1.5
                           + np.array([15, 2, 0], np.float32))
-    vcn_vars = vcn.init(jax.random.PRNGKey(0), {"input": obj_pts})
+    vcn_vars = vcn.init(jax.random.PRNGKey(0), {"input": obj_pts[:32]})
 
     @jax.jit
     def vcn_stage(variables, pc):
@@ -47,7 +50,7 @@ def main():
     # --- detector stage ----------------------------------------------------
     cfg = _flagship_detector_cfg()
     model, dcfg = build_detector(cfg)
-    B, P = 1, 150000
+    P = 150000
     pts = np.zeros((B, P, 3), np.float32)
     pts[:, :, 0] = rng.uniform(1, 69, (B, P))
     pts[:, :, 1] = rng.uniform(-39, 39, (B, P))
@@ -55,7 +58,7 @@ def main():
     jp, jv = jnp.asarray(pts), jnp.ones((B, P), bool)
     variables = jax.jit(lambda p, v: model.init(
         {"params": jax.random.PRNGKey(0)}, p, v, train=False))(
-        jp[:, :2048], jv[:, :2048])
+        jp[:1, :2048], jv[:1, :2048])
 
     @jax.jit
     def det_stage(variables, p, m):
@@ -67,15 +70,23 @@ def main():
     preds = det_stage(variables, jp, jv)
     jax.block_until_ready((completed, preds))
 
+    # distinct device buffers per iteration: identical (program, args) pairs
+    # can be served from a cache in the device runtime, inflating fps — a
+    # tiny per-iteration z-jitter keeps the work honest at negligible cost
     n_iters = 20
+    perturb = jax.jit(lambda p, e: p.at[..., 2].add(e))
+    det_inputs = [perturb(jp, 1e-4 * i) for i in range(n_iters)]
+    vcn_inputs = [perturb(obj_pts, 1e-4 * i) for i in range(n_iters)]
+    jax.block_until_ready((det_inputs, vcn_inputs))
+
     t0 = time.time()
-    for _ in range(n_iters):
-        completed = vcn_stage(vcn_vars, obj_pts)
-        preds = det_stage(variables, jp, jv)
+    for i in range(n_iters):
+        completed = vcn_stage(vcn_vars, vcn_inputs[i])
+        preds = det_stage(variables, det_inputs[i], jv)
     jax.block_until_ready((completed, preds))
     dt = (time.time() - t0) / n_iters
 
-    fps = 1.0 / dt
+    fps = B / dt
     print(json.dumps({
         "metric": "see_vcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(fps, 2),

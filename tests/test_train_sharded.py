@@ -156,7 +156,9 @@ def test_lr_warmup_cosine():
                "DECAY_STEP_LIST": [5], "LR_DECAY": 0.1})
     sched = build_lr_schedule(cfg, total_steps=100)   # 10 steps/epoch
     vals = np.array([float(sched(t)) for t in range(100)])
-    assert vals[0] < 1e-6                      # starts at ~0
+    # reference CosineWarmupLR starts at eta_min = LR / DIV_FACTOR
+    # (train_utils/optimization/__init__.py:58-61), default DIV_FACTOR 10
+    np.testing.assert_allclose(vals[0], 0.001, rtol=1e-4)
     assert vals[5] < vals[15]                  # monotone ramp
     np.testing.assert_allclose(vals[20], 0.01, rtol=1e-5)  # reaches LR
     np.testing.assert_allclose(vals[60], 0.001, rtol=1e-5) # decayed at ep 5
