@@ -134,11 +134,47 @@ class VCNTrainer:
             if val_ds is not None and (ep + 1) % val_freq == 0:
                 summary = self.validate(state, val_ds, batch_size)
                 logger(f"ep {ep} val: {summary}")
+                self.render_val_examples(state, val_ds, epoch=ep)
                 if summary.get("CDL1", np.inf) < self.best:
                     self.best = summary["CDL1"]
                     self.save_checkpoint(state, "ckpt-best")
             self.save_checkpoint(state, "ckpt-last", epoch=ep)
         return state
+
+    def render_val_examples(self, state, dataset: VCDataset, epoch: int = 0,
+                            n_examples: int = 3):
+        """Per-val visual dump (reference runner.py:252-268 logs input /
+        sparse / dense / gt point-cloud images to TensorBoard): a 3-panel
+        BEV PNG (input | prediction | complete) per example under
+        work_dir/val_vis/, plus one interactive HTML scene."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ...utils.viz3d import save_scene_html
+
+        out_dir = os.path.join(self.work_dir, "val_vis")
+        os.makedirs(out_dir, exist_ok=True)
+        batch = next(dataset.batches(min(n_examples, 8), shuffle=False))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = self.eval_step(state, jb)
+        coarse = np.asarray(out["coarse"])
+        for i in range(min(n_examples, coarse.shape[0])):
+            panels = [("input", np.asarray(batch["input"][i])),
+                      ("pred", coarse[i]),
+                      ("complete", np.asarray(batch["complete"][i]))]
+            fig, axes = plt.subplots(1, 3, figsize=(9, 3))
+            for ax, (name, pts) in zip(axes, panels):
+                ax.scatter(pts[:, 0], pts[:, 1], s=0.5)
+                ax.set_title(name)
+                ax.set_aspect("equal")
+            fig.tight_layout()
+            fig.savefig(os.path.join(out_dir, f"ep{epoch:03d}_{i}.png"),
+                        dpi=100)
+            plt.close(fig)
+        save_scene_html(os.path.join(out_dir, f"ep{epoch:03d}.html"),
+                        np.concatenate([coarse[0], np.asarray(batch["input"][0])]),
+                        gt_boxes=np.asarray(batch["gt_boxes"][:1]))
 
     # ------------------------------------------------------------------ #
     def save_checkpoint(self, state, name: str, epoch: int = 0):

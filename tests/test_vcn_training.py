@@ -106,6 +106,10 @@ def test_vcn_trainer_one_epoch(tmp_path):
     logs = []
     state = tr.fit(ds, val_ds=ds, epochs=1, batch_size=4, logger=logs.append)
     assert any("val" in l for l in logs)
+    # per-val visual dumps (reference runner.py:252-268 TB images analog)
+    vis = sorted((tmp_path / "run" / "val_vis").glob("*"))
+    assert any(p.suffix == ".png" for p in vis)
+    assert any(p.suffix == ".html" for p in vis)
     assert os.path.exists(tmp_path / "run" / "ckpt-last.pkl")
     assert os.path.exists(tmp_path / "run" / "ckpt-best.pkl")
     # reference-format .pth was exported and reimports into our model
