@@ -68,39 +68,136 @@ def _offsets(kernel_size, dtype=jnp.int32):
 
 def _lookup(keys_sorted: jax.Array, queries: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Binary search: (M,) queries into (N,) ascending keys. Returns
-    (row index clipped, found mask)."""
+    (row index clipped, found mask). The BIG padding sentinel never counts
+    as found — otherwise invalid queries "hit" the first padded row and
+    autodiff leaks gradient into it."""
     idx = jnp.searchsorted(keys_sorted, queries)
     idx_c = jnp.clip(idx, 0, keys_sorted.shape[0] - 1)
-    found = keys_sorted[idx_c] == queries
+    found = (keys_sorted[idx_c] == queries) & \
+        (queries != jnp.int32(np.iinfo(np.int32).max))
     return idx_c, found
+
+
+_BIG = np.iinfo(np.int32).max
+
+
+def _conv_queries(coords, valid, offs, stride, pad, src_shape) -> jax.Array:
+    """Query keys for y(p) = sum_k W[k] x(p*stride - pad + off_k):
+    (V, K) int32 keys into the source key space, BIG where invalid."""
+    stride = jnp.asarray(_as3(stride), jnp.int32)
+    pad = jnp.asarray(_as3(pad), jnp.int32)
+    zyx = coords[:, 1:4]
+    t = zyx[:, None, :] * stride - pad + offs[None]           # (V, K, 3)
+    nz, ny, nx = src_shape
+    dims = jnp.asarray([nz, ny, nx], jnp.int32)
+    inb = jnp.all((t >= 0) & (t < dims), axis=-1)
+    b = coords[:, 0:1]
+    q = ((b * nz + t[..., 0]) * ny + t[..., 1]) * nx + t[..., 2]
+    return jnp.where(inb & valid[:, None], q.astype(jnp.int32),
+                     jnp.int32(_BIG))
+
+
+def _invconv_queries(coords, valid, offs, stride, pad, src_shape) -> jax.Array:
+    """Query keys for y(p) = sum_k W[k] x((p + pad - off_k) / stride)
+    [divisibility-masked] — the inverse-conv gather, and the input-gradient
+    gather of the strided conv."""
+    stride = jnp.asarray(_as3(stride), jnp.int32)
+    pad = jnp.asarray(_as3(pad), jnp.int32)
+    zyx = coords[:, 1:4]
+    num = zyx[:, None, :] + pad - offs[None]                  # (V, K, 3)
+    divisible = jnp.all(num % stride == 0, axis=-1)
+    t = num // stride
+    nz, ny, nx = src_shape
+    dims = jnp.asarray([nz, ny, nx], jnp.int32)
+    inb = jnp.all((t >= 0) & (t < dims), axis=-1) & divisible
+    b = coords[:, 0:1]
+    q = ((b * nz + t[..., 0]) * ny + t[..., 1]) * nx + t[..., 2]
+    return jnp.where(inb & valid[:, None], q.astype(jnp.int32),
+                     jnp.int32(_BIG))
+
+
+def _gather_matmul(features, weight, q, keys, out_mask):
+    """gather rows of ``features`` by searchsorted(q in keys), one MXU GEMM.
+    weight (K, Cin, Cout); returns (V, Cout)."""
+    k, cin, cout = weight.shape
+    idx, found = _lookup(keys, q.reshape(-1))
+    g = jnp.where(found[:, None], features[idx], 0.0).reshape(-1, k * cin)
+    y = jnp.matmul(g, weight.reshape(k * cin, cout),
+                   preferred_element_type=jnp.float32)
+    return jnp.where(out_mask[:, None], y, 0.0)
+
+
+def _float0_like(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _conv_core(features, weight, q_fwd, q_bwd, in_keys, out_keys,
+               in_mask, out_mask):
+    """Gather-GEMM with a scatter-free backward.
+
+    Autodiff of the gather would emit a (V·K)-row duplicate-index
+    scatter-add for d(features), which XLA serializes on TPU (measured:
+    a flagship-capacity train step at 12 s/step). The input gradient is
+    instead ANOTHER gather-GEMM — the transposed conv:
+      dx[j] = sum_k W[k]^T dy[p(j, k)]
+    where q_bwd[j, k] keys the output position p with input j at tap k.
+    dW re-gathers the forward rows: dW = gathered^T dy (one MXU GEMM).
+    """
+    return _gather_matmul(features, weight, q_fwd, in_keys, out_mask)
+
+
+def _conv_core_fwd(features, weight, q_fwd, q_bwd, in_keys, out_keys,
+                   in_mask, out_mask):
+    y = _gather_matmul(features, weight, q_fwd, in_keys, out_mask)
+    return y, (features, weight, q_fwd, q_bwd, in_keys, out_keys,
+               in_mask, out_mask)
+
+
+def _conv_core_bwd(res, dy):
+    features, weight, q_fwd, q_bwd, in_keys, out_keys, in_mask, out_mask = res
+    k, cin, cout = weight.shape
+    dy = jnp.where(out_mask[:, None], dy, 0.0)
+
+    # dW = gathered^T dy (rematerialized gather; (K*Cin, Vout)x(Vout, Cout))
+    idx, found = _lookup(in_keys, q_fwd.reshape(-1))
+    g = jnp.where(found[:, None], features[idx], 0.0).reshape(-1, k * cin)
+    dw = jnp.matmul(g.T, dy, preferred_element_type=jnp.float32)
+    dw = dw.reshape(k, cin, cout)
+
+    # dx via the transposed-conv gather (no scatter)
+    idx2, found2 = _lookup(out_keys, q_bwd.reshape(-1))
+    gdy = jnp.where(found2[:, None], dy[idx2], 0.0).reshape(-1, k * cout)
+    wt = jnp.transpose(weight, (0, 2, 1)).reshape(k * cout, cin)
+    dx = jnp.matmul(gdy, wt, preferred_element_type=jnp.float32)
+    dx = jnp.where(in_mask[:, None], dx, 0.0)
+
+    return (dx, dw, _float0_like(q_fwd), _float0_like(q_bwd),
+            _float0_like(in_keys), _float0_like(out_keys),
+            _float0_like(in_mask), _float0_like(out_mask))
+
+
+_conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
 
 
 def _gather_gemm(st: SparseTensor, out_coords: jax.Array, out_mask: jax.Array,
                  weight: jax.Array, kernel_size, stride, padding,
-                 in_keys: jax.Array) -> jax.Array:
+                 in_keys: jax.Array, out_spatial_shape=None,
+                 out_keys: jax.Array | None = None) -> jax.Array:
     """Compute y(p) = sum_k W[k] x(p*stride - pad + k) for active outputs."""
     k = weight.shape[0]
     cin = weight.shape[1]
     offs = _offsets(kernel_size)                              # (K, 3)
-    stride = jnp.asarray(_as3(stride), jnp.int32)
-    pad = jnp.asarray(_as3(padding), jnp.int32)
-
-    zyx = out_coords[:, 1:4]                                  # (V, 3)
-    in_zyx = zyx[:, None, :] * stride - pad + offs[None]      # (V, K, 3)
-    nz, ny, nx = st.spatial_shape
-    dims = jnp.asarray([nz, ny, nx], jnp.int32)
-    inb = jnp.all((in_zyx >= 0) & (in_zyx < dims), axis=-1)   # (V, K)
-
-    b = out_coords[:, 0:1]                                    # (V, 1)
-    q = ((b * nz + in_zyx[..., 0]) * ny + in_zyx[..., 1]) * nx + in_zyx[..., 2]
-    big = jnp.int32(np.iinfo(np.int32).max)
-    q = jnp.where(inb & out_mask[:, None], q.astype(jnp.int32), big)
-
-    idx, found = _lookup(in_keys, q.reshape(-1))              # (V*K,)
-    gathered = jnp.where(found[:, None], st.features[idx], 0.0)
-    gathered = gathered.reshape(-1, k * cin)                  # (V, K*Cin)
-    return jnp.matmul(gathered, weight.reshape(k * cin, -1),
-                      preferred_element_type=jnp.float32)
+    w3 = weight.reshape(k, cin, -1)
+    q_fwd = _conv_queries(out_coords, out_mask, offs, stride, padding,
+                          st.spatial_shape)
+    out_spatial_shape = out_spatial_shape or st.spatial_shape
+    if out_keys is None:
+        out_keys = linear_key(out_coords, out_spatial_shape, out_mask)
+    q_bwd = _invconv_queries(st.coords, st.mask, offs, stride, padding,
+                             out_spatial_shape)
+    return _conv_core(st.features, w3, q_fwd, q_bwd, in_keys, out_keys,
+                      st.mask, out_mask)
 
 
 def subm_conv3d(st: SparseTensor, weight: jax.Array,
@@ -109,8 +206,8 @@ def subm_conv3d(st: SparseTensor, weight: jax.Array,
     ks = _as3(kernel_size)
     assert weight.shape[0] == ks[0] * ks[1] * ks[2], (weight.shape, ks)
     in_keys = linear_key(st.coords, st.spatial_shape, st.mask)
-    feats = _gather_gemm(st, st.coords, st.mask, weight, ks, 1, padding, in_keys)
-    feats = jnp.where(st.mask[:, None], feats, 0.0)
+    feats = _gather_gemm(st, st.coords, st.mask, weight, ks, 1, padding,
+                         in_keys, out_keys=in_keys)
     return st._replace(features=feats)
 
 
@@ -165,8 +262,8 @@ def _sparse_conv_impl(features, coords, mask, weight, *, kernel_size, stride,
 
     in_keys = linear_key(st.coords, st.spatial_shape, st.mask)
     feats = _gather_gemm(st, out_coords, out_mask, weight, ks,
-                         (sz, sy, sx), (pz, py, px), in_keys)
-    feats = jnp.where(out_mask[:, None], feats, 0.0)
+                         (sz, sy, sx), (pz, py, px), in_keys,
+                         out_spatial_shape=out_shape, out_keys=out_keys)
     return feats, out_coords, out_mask
 
 
@@ -215,30 +312,17 @@ def sparse_inverse_conv3d(st: SparseTensor, weight: jax.Array,
     k = ks[0] * ks[1] * ks[2]
     cin = st.features.shape[-1]
     assert weight.shape[0] == k, (weight.shape, ks)
-    sz, sy, sx = _as3(stride)
-    pz, py, px = _as3(padding)
 
     offs = _offsets(ks)                                   # (K, 3)
-    strides = jnp.asarray([sz, sy, sx], jnp.int32)
-    pads = jnp.asarray([pz, py, px], jnp.int32)
-    zyx = target.coords[:, 1:4]
-    num = zyx[:, None, :] + pads - offs[None]             # (V, K, 3)
-    divisible = jnp.all(num % strides == 0, axis=-1)
-    q_zyx = num // strides
-    nz, ny, nx = st.spatial_shape
-    dims = jnp.asarray([nz, ny, nx], jnp.int32)
-    inb = jnp.all((q_zyx >= 0) & (q_zyx < dims), axis=-1) & divisible
-
-    b = target.coords[:, 0:1]
-    q = ((b * nz + q_zyx[..., 0]) * ny + q_zyx[..., 1]) * nx + q_zyx[..., 2]
-    big = jnp.int32(np.iinfo(np.int32).max)
-    q = jnp.where(inb & target.mask[:, None], q.astype(jnp.int32), big)
-
+    # gather FROM the downsampled st at (p + pad - off)/stride; the input
+    # gradient gathers FROM the target space at j*stride - pad + off (the
+    # regular-conv query) — the exact adjoint pair of _gather_gemm
+    q_fwd = _invconv_queries(target.coords, target.mask, offs, stride,
+                             padding, st.spatial_shape)
+    q_bwd = _conv_queries(st.coords, st.mask, offs, stride, padding,
+                          target.spatial_shape)
     in_keys = linear_key(st.coords, st.spatial_shape, st.mask)
-    idx, found = _lookup(in_keys, q.reshape(-1))
-    gathered = jnp.where(found[:, None], st.features[idx], 0.0)
-    gathered = gathered.reshape(-1, k * cin)
-    feats = jnp.matmul(gathered, weight.reshape(k * cin, -1),
-                       preferred_element_type=jnp.float32)
-    feats = jnp.where(target.mask[:, None], feats, 0.0)
+    out_keys = linear_key(target.coords, target.spatial_shape, target.mask)
+    feats = _conv_core(st.features, weight.reshape(k, cin, -1), q_fwd, q_bwd,
+                       in_keys, out_keys, st.mask, target.mask)
     return target._replace(features=feats)

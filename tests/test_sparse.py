@@ -232,3 +232,85 @@ def test_focal_sparse_conv_and_backbone():
     loss, tb = model.loss(out2, gt)
     assert "loss_box_of_pts" in tb
     assert np.isfinite(float(loss)), tb
+
+
+def _autodiff_ref_grads(st, w3, q_fwd, in_keys, out_mask, r):
+    """Grads of the SAME gather-GEMM via plain autodiff (scatter-add
+    backward) — ground truth for the scatter-free custom VJP."""
+    def loss(f, w):
+        y = SP._gather_matmul(f, w, q_fwd, in_keys, out_mask)
+        return (y * r).sum()
+    return jax.grad(loss, argnums=(0, 1))(st.features, w3)
+
+
+def test_subm_conv_custom_vjp_matches_autodiff():
+    rng = np.random.RandomState(4)
+    st, dense, occ = _random_sparse(rng)
+    w = jnp.asarray(rng.randn(27, 5, 7).astype(np.float32) * 0.3)
+    r = jnp.asarray(rng.randn(st.features.shape[0], 7).astype(np.float32))
+
+    def loss(f, w):
+        out = SP.subm_conv3d(st._replace(features=f), w, 3, padding=1)
+        return (out.features * r).sum()
+
+    dx, dw = jax.grad(loss, argnums=(0, 1))(st.features, w)
+
+    offs = SP._offsets((3, 3, 3))
+    in_keys = SP.linear_key(st.coords, st.spatial_shape, st.mask)
+    q_fwd = SP._conv_queries(st.coords, st.mask, offs, 1, 1, st.spatial_shape)
+    rx, rw = _autodiff_ref_grads(st, w, q_fwd, in_keys, st.mask, r)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(rw.reshape(27, 5, 7)),
+                               atol=1e-4)
+
+
+def test_strided_conv_custom_vjp_matches_autodiff():
+    rng = np.random.RandomState(5)
+    st, dense, occ = _random_sparse(rng, dims=(7, 9, 11))
+    w = jnp.asarray(rng.randn(27, 5, 6).astype(np.float32) * 0.3)
+    cap = st.features.shape[0] * 2
+
+    out0 = SP.sparse_conv3d(st, w, 3, stride=2, padding=1, out_capacity=cap)
+    r = jnp.asarray(rng.randn(cap, 6).astype(np.float32))
+
+    def loss(f, w):
+        out = SP.sparse_conv3d(st._replace(features=f), w, 3, stride=2,
+                               padding=1, out_capacity=cap)
+        return (out.features * r).sum()
+
+    dx, dw = jax.grad(loss, argnums=(0, 1))(st.features, w)
+
+    offs = SP._offsets((3, 3, 3))
+    in_keys = SP.linear_key(st.coords, st.spatial_shape, st.mask)
+    q_fwd = SP._conv_queries(out0.coords, out0.mask, offs, 2, 1,
+                             st.spatial_shape)
+    rx, rw = _autodiff_ref_grads(st, w, q_fwd, in_keys, out0.mask, r)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(rw.reshape(27, 5, 6)),
+                               atol=1e-4)
+
+
+def test_inverse_conv_custom_vjp_matches_autodiff():
+    rng = np.random.RandomState(6)
+    target, dense, occ = _random_sparse(rng, dims=(6, 8, 10), cin=5)
+    down = SP.sparse_conv3d(target, jnp.asarray(
+        rng.randn(27, 5, 4).astype(np.float32) * 0.3), 3, stride=2, padding=1,
+        out_capacity=target.features.shape[0])
+    w = jnp.asarray(rng.randn(27, 4, 5).astype(np.float32) * 0.3)
+    r = jnp.asarray(rng.randn(target.features.shape[0], 5).astype(np.float32))
+
+    def loss(f, w):
+        out = SP.sparse_inverse_conv3d(down._replace(features=f), w, target,
+                                       3, stride=2, padding=1)
+        return (out.features * r).sum()
+
+    dx, dw = jax.grad(loss, argnums=(0, 1))(down.features, w)
+
+    offs = SP._offsets((3, 3, 3))
+    in_keys = SP.linear_key(down.coords, down.spatial_shape, down.mask)
+    q_fwd = SP._invconv_queries(target.coords, target.mask, offs, 2, 1,
+                                down.spatial_shape)
+    rx, rw = _autodiff_ref_grads(down, w, q_fwd, in_keys, target.mask, r)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(rw.reshape(27, 4, 5)),
+                               atol=1e-4)
