@@ -1,15 +1,23 @@
 """Benchmark: end-to-end SEE-VCN inference pipeline, frames/sec/chip.
 
 Measures the device path of BASELINE config 1/3 on one chip at the
-REFERENCE'S eval capacity AND eval batch size: per frame, VCN surface
-completion of 32 isolated objects (forward + partial-mesh +
-largest-cluster) followed by the SECOND-IoU detector (in-jit voxelization
--> sparse backbone -> BEV -> anchor head -> IoU rcnn -> NMS) at the
-sc_kitti eval budget — 150k-point cloud, voxel [0.1, 0.1, 0.15], 90,000
-max voxels (sc_kitti_dataset.yaml:31-37) — with the
-source-waymo/second_iou.yaml MODEL block, batched at that config's own
-eval batch size (BATCH_SIZE_PER_GPU: 4, second_iou.yaml:171; the
-reference's tools/test.py:147 evaluates at the same batch).
+REFERENCE'S eval capacity: per frame, VCN surface completion of 32 isolated
+objects (forward + partial-mesh + largest-cluster) followed by the
+SECOND-IoU detector (in-jit voxelization -> dense-masked sparse backbone ->
+BEV -> anchor head -> IoU rcnn -> NMS) at the sc_kitti eval budget — a
+150k-point cloud, voxel [0.1, 0.1, 0.15], 90,000 max voxels
+(sc_kitti_dataset.yaml:31-37) — with the source-waymo/second_iou.yaml
+MODEL block.
+
+MEASUREMENT SEMANTICS (important, changed in round 2): on the tunneled
+`axon` TPU backend, jax.block_until_ready returns when work is ENQUEUED
+remotely, not when it completes (verified: block=0.9 ms while the actual
+value readback gated 12 s of real compute). All round-1-style timings
+therefore measured dispatch latency, not execution. This benchmark gates
+on a host readback of a scalar reduced from the final iteration's outputs;
+the device stream executes in order, so that read completes only after
+every enqueued iteration has truly executed. n_iters amortizes the single
+readback round-trip.
 
 vs_baseline: the reference repo publishes NO benchmark numbers
 (BASELINE.md) and its CUDA stack cannot run in this environment, so no
@@ -33,7 +41,7 @@ def main():
     from seevcn_tpu.ops.sampling import partial_mesh_batch
 
     rng = np.random.RandomState(0)
-    B = 4                        # reference eval batch (second_iou.yaml:171)
+    B = 1   # the dense-masked backbone at eval capacity fills HBM at B>1
 
     # --- VCN stage: 32 objects/frame -------------------------------------
     vcn = build_vcn("VCN_VC")
@@ -45,7 +53,9 @@ def main():
     def vcn_stage(variables, pc):
         ret = vcn.apply(variables, {"input": pc})
         surface = partial_mesh_batch(pc, ret["coarse"], k=30, surface_pts=1024)
-        return largest_cluster_batch(surface, eps=0.4, min_points=2, total_pts=1024)
+        out = largest_cluster_batch(surface, eps=0.4, min_points=2,
+                                    total_pts=1024)
+        return out, out.sum()
 
     # --- detector stage ----------------------------------------------------
     cfg = _flagship_detector_cfg()
@@ -63,27 +73,28 @@ def main():
     @jax.jit
     def det_stage(variables, p, m):
         out = model.apply(variables, p, m, train=False)
-        return post_processing(out, cfg.MODEL.POST_PROCESSING, 1, has_roi_head=True)
+        pp = post_processing(out, cfg.MODEL.POST_PROCESSING, 1,
+                             has_roi_head=True)
+        return pp, pp["pred_scores"].sum()
 
-    # warmup/compile
-    completed = vcn_stage(vcn_vars, obj_pts)
-    preds = det_stage(variables, jp, jv)
-    jax.block_until_ready((completed, preds))
+    # warmup/compile — gate on real completion via scalar readbacks
+    _, cs = vcn_stage(vcn_vars, obj_pts)
+    _, ds = det_stage(variables, jp, jv)
+    float(cs), float(ds)
 
-    # distinct device buffers per iteration: identical (program, args) pairs
-    # can be served from a cache in the device runtime, inflating fps — a
-    # tiny per-iteration z-jitter keeps the work honest at negligible cost
-    n_iters = 20
+    # distinct device buffers per iteration so no identical-argument
+    # execution can be served from any runtime cache
+    n_iters = 16
     perturb = jax.jit(lambda p, e: p.at[..., 2].add(e))
     det_inputs = [perturb(jp, 1e-4 * i) for i in range(n_iters)]
     vcn_inputs = [perturb(obj_pts, 1e-4 * i) for i in range(n_iters)]
-    jax.block_until_ready((det_inputs, vcn_inputs))
+    _ = [float(x[0, 0, 2]) for x in det_inputs[-1:]]   # inputs materialized
 
     t0 = time.time()
     for i in range(n_iters):
-        completed = vcn_stage(vcn_vars, vcn_inputs[i])
-        preds = det_stage(variables, det_inputs[i], jv)
-    jax.block_until_ready((completed, preds))
+        _, cs = vcn_stage(vcn_vars, vcn_inputs[i])
+        _, ds = det_stage(variables, det_inputs[i], jv)
+    total = float(cs) + float(ds)       # gates the whole enqueued stream
     dt = (time.time() - t0) / n_iters
 
     fps = B / dt

@@ -89,11 +89,20 @@ class SECONDNetIoU(nn.Module):
         backbone = {"VoxelBackBone8x": VoxelBackBone8x,
                     "VoxelResBackBone8x": VoxelResBackBone8x,
                     "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
+        kw = {}
+        if bb_name == "VoxelBackBone8x":
+            # dense-masked MXU execution by default (identical math; the
+            # rulebook path is ~1.4 s of searchsorted per conv at eval
+            # capacity — BACKBONE_3D.MODE: sparse opts back in)
+            kw["mode"] = mcfg.BACKBONE_3D.get("MODE", "dense")
         bb_out = backbone(input_channels=cfg.num_point_features,
-                          name="backbone_3d")(st, train)
+                          name="backbone_3d", **kw)(st, train)
 
         # --- BEV ------------------------------------------------------------
-        bev = constrain_bev(height_compression(bb_out["encoded_spconv_tensor"]))
+        enc = bb_out["encoded_spconv_tensor"]
+        bev = SP.dense_height_compression(enc) \
+            if isinstance(enc, SP.DenseTensor) else height_compression(enc)
+        bev = constrain_bev(bev)
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
             layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
@@ -222,9 +231,14 @@ class SECONDNet(nn.Module):
         backbone = {"VoxelBackBone8x": VoxelBackBone8x,
                     "VoxelResBackBone8x": VoxelResBackBone8x,
                     "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
+        kw = {"mode": mcfg.BACKBONE_3D.get("MODE", "dense")} \
+            if bb_name == "VoxelBackBone8x" else {}
         bb_out = backbone(input_channels=cfg.num_point_features,
-                          name="backbone_3d")(st, train)
-        bev = constrain_bev(height_compression(bb_out["encoded_spconv_tensor"]))
+                          name="backbone_3d", **kw)(st, train)
+        enc = bb_out["encoded_spconv_tensor"]
+        bev = SP.dense_height_compression(enc) \
+            if isinstance(enc, SP.DenseTensor) else height_compression(enc)
+        bev = constrain_bev(bev)
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
             layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),

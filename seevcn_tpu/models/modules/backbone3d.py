@@ -22,8 +22,44 @@ from ...ops import sparse as SP
 from .common import MaskedBatchNorm
 
 
+class DenseMaskedBatchNorm(nn.Module):
+    """MaskedBatchNorm for dense-masked tensors: inputs are pre-zeroed
+    outside ``occ`` so the masked moments are plain sums / E[x^2]-mean^2
+    (identical statistics, no (N, C) flatten + mask multiply over the full
+    grid). Variable names match MaskedBatchNorm so the two execution modes
+    share checkpoints."""
+    epsilon: float = 1e-3
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, x, occ, train: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (c,))
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (c,))
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            cnt = jnp.maximum(occ.sum().astype(x.dtype), 1.0)
+            mean = x.sum(axis=axes) / cnt
+            var = jnp.maximum((x ** 2).sum(axis=axes) / cnt - mean ** 2, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + \
+                    (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + \
+                    (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y * occ[..., None].astype(y.dtype)
+
+
 class SpConvLayer(nn.Module):
-    """One sparse conv + masked BN + ReLU."""
+    """One sparse conv + masked BN + ReLU. Accepts a SparseTensor
+    (rulebook gather-GEMM path) or a DenseTensor (masked dense conv3d on
+    the MXU — same math, see ops/sparse.DenseTensor)."""
     out_channels: int
     kernel_size: tuple | int = 3
     stride: tuple | int = 1
@@ -33,12 +69,25 @@ class SpConvLayer(nn.Module):
     use_relu: bool = True
 
     @nn.compact
-    def __call__(self, st: SP.SparseTensor, train: bool = False) -> SP.SparseTensor:
+    def __call__(self, st, train: bool = False):
         ks = SP._as3(self.kernel_size)
         k = ks[0] * ks[1] * ks[2]
         cin = st.features.shape[-1]
         w = self.param("kernel", nn.initializers.variance_scaling(
             1.0, "fan_in", "truncated_normal"), (k, cin, self.out_channels))
+        if isinstance(st, SP.DenseTensor):
+            if self.subm:
+                out = SP.dense_subm_conv3d(st, w, kernel_size=ks,
+                                           padding=self.padding)
+            else:
+                out = SP.dense_sparse_conv3d(st, w, kernel_size=ks,
+                                             stride=self.stride,
+                                             padding=self.padding)
+            feats = DenseMaskedBatchNorm(name="bn")(out.features, out.occ,
+                                                    train)
+            if self.use_relu:
+                feats = nn.relu(feats)
+            return out._replace(features=feats)
         if self.subm:
             out = SP.subm_conv3d(st, w, kernel_size=ks, padding=self.padding)
         else:
@@ -59,10 +108,14 @@ class VoxelBackBone8x(nn.Module):
     """
     input_channels: int = 4
     capacities: Sequence[int] | None = None  # per strided stage (conv2..conv_out)
+    mode: str = "sparse"        # "dense": masked conv3d on the MXU
 
     @nn.compact
-    def __call__(self, st: SP.SparseTensor, train: bool = False):
-        cap = self.capacities or [st.features.shape[0]] * 4
+    def __call__(self, st, train: bool = False):
+        if self.mode == "dense" and isinstance(st, SP.SparseTensor):
+            st = SP.to_dense_tensor(st)
+        cap = [0] * 4 if isinstance(st, SP.DenseTensor) else \
+            (self.capacities or [st.features.shape[0]] * 4)
 
         x = SpConvLayer(16, subm=True, padding=1, name="conv_input")(st, train)
         x_conv1 = SpConvLayer(16, subm=True, padding=1, name="conv1_0")(x, train)

@@ -288,6 +288,78 @@ def sparse_conv3d(st: SparseTensor, weight: jax.Array, kernel_size=3,
     return SparseTensor(feats, coords, mask, out_shape, st.batch_size)
 
 
+class DenseTensor(NamedTuple):
+    """Dense-masked execution form of a SparseTensor: padded positions hold
+    zeros and ``occ`` marks the active set. At point-cloud densities
+    (~0.5-5% of the voxel grid) TPUs run the SAME submanifold/strided conv
+    math orders of magnitude faster as masked dense conv3d on the MXU than
+    as rulebook gathers (measured: jnp.searchsorted lookups alone cost
+    ~1.4 s per conv at 360k voxels x 27 taps; dense conv3d is ~2 ms)."""
+    features: jax.Array       # (B, nz, ny, nx, C), zero outside occ
+    occ: jax.Array            # (B, nz, ny, nx) bool
+
+
+def to_dense_tensor(st: SparseTensor) -> DenseTensor:
+    nz, ny, nx = st.spatial_shape
+    occ = jnp.zeros((st.batch_size, nz, ny, nx), bool)
+    b, z, y, x = (jnp.where(st.mask, st.coords[:, i], 0) for i in range(4))
+    occ = occ.at[b, z, y, x].max(st.mask)
+    return DenseTensor(to_dense(st), occ)
+
+
+def dense_subm_conv3d(dt: DenseTensor, weight: jax.Array,
+                      kernel_size=3, padding=1) -> DenseTensor:
+    """Submanifold conv, dense-masked: conv3d then restrict to the active
+    set. Numerically identical to subm_conv3d — inactive inputs are zero so
+    they contribute nothing, and the output mask IS the submanifold rule.
+
+    (Lowering notes, measured on the tunneled v5 chip at eval capacity:
+    plain NDHWC conv3d = 42.7 ms for the (28, 800, 704, 16->16) stage-1
+    conv; a z-tap 2D decomposition and a z-folded 448-channel 2D conv were
+    tried and measured slower/equal once pad/slice materialization is
+    counted — conv3d is the keeper.)"""
+    ks = _as3(kernel_size)
+    pad = _as3(padding)
+    cin = dt.features.shape[-1]
+    w = weight.reshape(*ks, cin, -1)
+    y = jax.lax.conv_general_dilated(
+        dt.features, w, window_strides=(1, 1, 1),
+        padding=[(p, p) for p in pad],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)
+    return DenseTensor(y * dt.occ[..., None].astype(y.dtype), dt.occ)
+
+
+def dense_sparse_conv3d(dt: DenseTensor, weight: jax.Array, kernel_size=3,
+                        stride=1, padding=0) -> DenseTensor:
+    """Strided conv, dense-masked: the output active set is every position
+    whose window touches an active input (spconv SparseConv3d semantics —
+    and unlike the fixed-capacity sparse path, nothing is ever truncated)."""
+    ks = _as3(kernel_size)
+    st3 = _as3(stride)
+    pad = _as3(padding)
+    cin = dt.features.shape[-1]
+    w = weight.reshape(*ks, cin, -1)
+    y = jax.lax.conv_general_dilated(
+        dt.features, w, window_strides=st3,
+        padding=[(p, p) for p in pad],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)
+    occ = jax.lax.reduce_window(
+        dt.occ, False, jax.lax.bitwise_or,
+        window_dimensions=(1,) + ks, window_strides=(1,) + st3,
+        padding=[(0, 0)] + [(p, p) for p in pad])
+    return DenseTensor(y * occ[..., None].astype(y.dtype), occ)
+
+
+def dense_height_compression(dt: DenseTensor) -> jax.Array:
+    """(B, nz, ny, nx, C) -> (B, ny, nx, C*nz) with the SAME (c*nz + z)
+    channel order as map_to_bev.height_compression (ckpt-compatible)."""
+    b, nz, ny, nx, c = dt.features.shape
+    return jnp.transpose(dt.features, (0, 2, 3, 4, 1)).reshape(
+        b, ny, nx, c * nz)
+
+
 def to_dense(st: SparseTensor) -> jax.Array:
     """(B, nz, ny, nx, C) dense scatter (spconv SparseConvTensor.dense())."""
     nz, ny, nx = st.spatial_shape

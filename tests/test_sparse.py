@@ -314,3 +314,92 @@ def test_inverse_conv_custom_vjp_matches_autodiff():
     np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(rw.reshape(27, 4, 5)),
                                atol=1e-4)
+
+
+def test_dense_masked_ops_match_sparse():
+    """DenseTensor execution == sparse rulebook execution (same math)."""
+    rng = np.random.RandomState(7)
+    st, dense, occ_np = _random_sparse(rng, dims=(7, 9, 11))
+    dt = SP.to_dense_tensor(st)
+    np.testing.assert_array_equal(np.asarray(dt.occ), occ_np)
+    np.testing.assert_allclose(np.asarray(dt.features), dense, atol=0)
+
+    w = jnp.asarray(rng.randn(27, 5, 6).astype(np.float32) * 0.3)
+    # subm
+    ds = SP.dense_subm_conv3d(dt, w, 3, padding=1)
+    ss = SP.subm_conv3d(st, w, 3, padding=1)
+    got = np.asarray(ds.features)
+    coords, m = np.asarray(ss.coords), np.asarray(ss.mask)
+    sf = np.asarray(ss.features)
+    for i in np.where(m)[0]:
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[b, z, y, x], sf[i], atol=1e-4)
+    # inactive positions stay zero
+    assert np.abs(got[~np.asarray(ds.occ)]).max() == 0
+
+    # strided
+    dstr = SP.dense_sparse_conv3d(dt, w, 3, stride=2, padding=1)
+    sstr = SP.sparse_conv3d(st, w, 3, stride=2, padding=1,
+                            out_capacity=st.features.shape[0] * 2)
+    got = np.asarray(dstr.features)
+    coords, m = np.asarray(sstr.coords), np.asarray(sstr.mask)
+    sf = np.asarray(sstr.features)
+    occ2 = np.asarray(dstr.occ)
+    active = set()
+    for i in np.where(m)[0]:
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[b, z, y, x], sf[i], atol=1e-4)
+        assert occ2[b, z, y, x]
+        active.add((b, z, y, x))
+    assert len(active) == occ2.sum()          # same active set
+
+
+def test_backbone_dense_mode_matches_sparse():
+    """VoxelBackBone8x(mode=dense) == mode=sparse with shared params."""
+    from seevcn_tpu.models.modules.backbone3d import VoxelBackBone8x
+
+    rng = np.random.RandomState(8)
+    st, dense, occ = _random_sparse(rng, dims=(25, 16, 24), cin=4)
+    sparse_bb = VoxelBackBone8x(input_channels=4, mode="sparse",
+                                capacities=[4096] * 4)
+    dense_bb = VoxelBackBone8x(input_channels=4, mode="dense")
+    variables = sparse_bb.init({"params": jax.random.PRNGKey(0)}, st, False)
+    out_s = sparse_bb.apply(variables, st, False)["encoded_spconv_tensor"]
+    out_d = dense_bb.apply(variables, st, False)["encoded_spconv_tensor"]
+
+    assert isinstance(out_d, SP.DenseTensor)
+    got = np.asarray(out_d.features)
+    coords, m = np.asarray(out_s.coords), np.asarray(out_s.mask)
+    sf = np.asarray(out_s.features)
+    assert m.sum() > 0
+    for i in np.where(m)[0]:
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[b, z, y, x], sf[i],
+                                   rtol=1e-3, atol=1e-4)
+    # BEV projections agree
+    from seevcn_tpu.models.modules.map_to_bev import height_compression
+
+    bev_s = np.asarray(height_compression(out_s))
+    bev_d = np.asarray(SP.dense_height_compression(out_d))
+    np.testing.assert_allclose(bev_d, bev_s, rtol=1e-3, atol=1e-4)
+
+
+def test_backbone_dense_mode_train_grads():
+    """Dense-mode BN stats and gradients are finite and nonzero."""
+    from seevcn_tpu.models.modules.backbone3d import VoxelBackBone8x
+
+    rng = np.random.RandomState(9)
+    st, dense, occ = _random_sparse(rng, dims=(25, 16, 24), cin=4)
+    bb = VoxelBackBone8x(input_channels=4, mode="dense")
+    variables = bb.init({"params": jax.random.PRNGKey(0)}, st, False)
+
+    def loss(params):
+        out, mut = bb.apply({"params": params,
+                             "batch_stats": variables["batch_stats"]},
+                            st, True, mutable=["batch_stats"])
+        return jnp.sum(out["encoded_spconv_tensor"].features ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    total = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
+    assert np.isfinite(total) and total > 0
