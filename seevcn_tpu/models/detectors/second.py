@@ -93,8 +93,10 @@ class SECONDNetIoU(nn.Module):
         if bb_name == "VoxelBackBone8x":
             # dense-masked MXU execution by default (identical math; the
             # rulebook path is ~1.4 s of searchsorted per conv at eval
-            # capacity — BACKBONE_3D.MODE: sparse opts back in)
+            # capacity — BACKBONE_3D.MODE: sparse opts back in);
+            # DTYPE: bfloat16 halves dense HBM for training at capacity
             kw["mode"] = mcfg.BACKBONE_3D.get("MODE", "dense")
+            kw["dtype"] = mcfg.BACKBONE_3D.get("DTYPE", "float32")
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d", **kw)(st, train)
 
@@ -231,7 +233,8 @@ class SECONDNet(nn.Module):
         backbone = {"VoxelBackBone8x": VoxelBackBone8x,
                     "VoxelResBackBone8x": VoxelResBackBone8x,
                     "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
-        kw = {"mode": mcfg.BACKBONE_3D.get("MODE", "dense")} \
+        kw = {"mode": mcfg.BACKBONE_3D.get("MODE", "dense"),
+              "dtype": mcfg.BACKBONE_3D.get("DTYPE", "float32")} \
             if bb_name == "VoxelBackBone8x" else {}
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d", **kw)(st, train)

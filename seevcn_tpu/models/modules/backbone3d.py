@@ -42,9 +42,12 @@ class DenseMaskedBatchNorm(nn.Module):
                                nn.initializers.ones, None, (c,))
         if train:
             axes = tuple(range(x.ndim - 1))
-            cnt = jnp.maximum(occ.sum().astype(x.dtype), 1.0)
-            mean = x.sum(axis=axes) / cnt
-            var = jnp.maximum((x ** 2).sum(axis=axes) / cnt - mean ** 2, 0.0)
+            # f32 accumulation regardless of the activation dtype
+            cnt = jnp.maximum(occ.sum().astype(jnp.float32), 1.0)
+            mean = x.sum(axis=axes, dtype=jnp.float32) / cnt
+            var = jnp.maximum(
+                (x.astype(jnp.float32) ** 2).sum(axis=axes) / cnt
+                - mean ** 2, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + \
                     (1 - self.momentum) * mean
@@ -52,7 +55,9 @@ class DenseMaskedBatchNorm(nn.Module):
                     (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon) * scale + bias
+        y = y.astype(x.dtype)
         return y * occ[..., None].astype(y.dtype)
 
 
@@ -76,18 +81,24 @@ class SpConvLayer(nn.Module):
         w = self.param("kernel", nn.initializers.variance_scaling(
             1.0, "fan_in", "truncated_normal"), (k, cin, self.out_channels))
         if isinstance(st, SP.DenseTensor):
+            # conv3d lowering is the fast FORWARD; its backward materializes
+            # 16x-padded transposed copies (7.5 GB at eval capacity), so
+            # training uses the z-decomposed 2D lowering (same math)
+            impl = "2d" if train else "conv3d"
             if self.subm:
                 out = SP.dense_subm_conv3d(st, w, kernel_size=ks,
-                                           padding=self.padding)
+                                           padding=self.padding, impl=impl)
             else:
                 out = SP.dense_sparse_conv3d(st, w, kernel_size=ks,
                                              stride=self.stride,
-                                             padding=self.padding)
+                                             padding=self.padding, impl=impl)
             feats = DenseMaskedBatchNorm(name="bn")(out.features, out.occ,
                                                     train)
             if self.use_relu:
                 feats = nn.relu(feats)
-            return out._replace(features=feats)
+            # keep the input activation dtype between layers (bf16 when the
+            # backbone runs in mixed precision; convs accumulate f32)
+            return out._replace(features=feats.astype(st.features.dtype))
         if self.subm:
             out = SP.subm_conv3d(st, w, kernel_size=ks, padding=self.padding)
         else:
@@ -109,34 +120,45 @@ class VoxelBackBone8x(nn.Module):
     input_channels: int = 4
     capacities: Sequence[int] | None = None  # per strided stage (conv2..conv_out)
     mode: str = "sparse"        # "dense": masked conv3d on the MXU
+    dtype: str = "float32"      # dense-mode activation dtype; "bfloat16"
+    # halves HBM (convs still accumulate f32) — needed to TRAIN at the
+    # reference eval capacity on a 16 GB chip
 
     @nn.compact
     def __call__(self, st, train: bool = False):
         if self.mode == "dense" and isinstance(st, SP.SparseTensor):
             st = SP.to_dense_tensor(st)
-        cap = [0] * 4 if isinstance(st, SP.DenseTensor) else \
+            st = st._replace(features=st.features.astype(
+                jnp.dtype(self.dtype)))
+        dense = isinstance(st, SP.DenseTensor)
+        cap = [0] * 4 if dense else \
             (self.capacities or [st.features.shape[0]] * 4)
+        # dense activations at eval capacity are ~1.4 GB each — remat every
+        # layer so the backward recomputes instead of saving all 12 of them
+        # (without this a B=1 train step needs 20.3 GB of 15.75 GB HBM)
+        Layer = nn.remat(SpConvLayer, static_argnums=(2,)) if dense \
+            else SpConvLayer
 
-        x = SpConvLayer(16, subm=True, padding=1, name="conv_input")(st, train)
-        x_conv1 = SpConvLayer(16, subm=True, padding=1, name="conv1_0")(x, train)
+        x = Layer(16, subm=True, padding=1, name="conv_input")(st, train)
+        x_conv1 = Layer(16, subm=True, padding=1, name="conv1_0")(x, train)
 
-        x = SpConvLayer(32, subm=False, stride=2, padding=1,
-                        out_capacity=cap[0], name="conv2_down")(x_conv1, train)
-        x = SpConvLayer(32, subm=True, padding=1, name="conv2_0")(x, train)
-        x_conv2 = SpConvLayer(32, subm=True, padding=1, name="conv2_1")(x, train)
+        x = Layer(32, subm=False, stride=2, padding=1,
+                  out_capacity=cap[0], name="conv2_down")(x_conv1, train)
+        x = Layer(32, subm=True, padding=1, name="conv2_0")(x, train)
+        x_conv2 = Layer(32, subm=True, padding=1, name="conv2_1")(x, train)
 
-        x = SpConvLayer(64, subm=False, stride=2, padding=1,
-                        out_capacity=cap[1], name="conv3_down")(x_conv2, train)
-        x = SpConvLayer(64, subm=True, padding=1, name="conv3_0")(x, train)
-        x_conv3 = SpConvLayer(64, subm=True, padding=1, name="conv3_1")(x, train)
+        x = Layer(64, subm=False, stride=2, padding=1,
+                  out_capacity=cap[1], name="conv3_down")(x_conv2, train)
+        x = Layer(64, subm=True, padding=1, name="conv3_0")(x, train)
+        x_conv3 = Layer(64, subm=True, padding=1, name="conv3_1")(x, train)
 
-        x = SpConvLayer(64, subm=False, stride=2, padding=(0, 1, 1),
-                        out_capacity=cap[2], name="conv4_down")(x_conv3, train)
-        x = SpConvLayer(64, subm=True, padding=1, name="conv4_0")(x, train)
-        x_conv4 = SpConvLayer(64, subm=True, padding=1, name="conv4_1")(x, train)
+        x = Layer(64, subm=False, stride=2, padding=(0, 1, 1),
+                  out_capacity=cap[2], name="conv4_down")(x_conv3, train)
+        x = Layer(64, subm=True, padding=1, name="conv4_0")(x, train)
+        x_conv4 = Layer(64, subm=True, padding=1, name="conv4_1")(x, train)
 
-        out = SpConvLayer(128, subm=False, kernel_size=(3, 1, 1), stride=(2, 1, 1),
-                          padding=0, out_capacity=cap[3], name="conv_out")(x_conv4, train)
+        out = Layer(128, subm=False, kernel_size=(3, 1, 1), stride=(2, 1, 1),
+                    padding=0, out_capacity=cap[3], name="conv_out")(x_conv4, train)
 
         return {
             "encoded_spconv_tensor": out,

@@ -307,31 +307,78 @@ def to_dense_tensor(st: SparseTensor) -> DenseTensor:
     return DenseTensor(to_dense(st), occ)
 
 
-def dense_subm_conv3d(dt: DenseTensor, weight: jax.Array,
-                      kernel_size=3, padding=1) -> DenseTensor:
-    """Submanifold conv, dense-masked: conv3d then restrict to the active
-    set. Numerically identical to subm_conv3d — inactive inputs are zero so
-    they contribute nothing, and the output mask IS the submanifold rule.
+def _dense_conv(x: jax.Array, w: jax.Array, stride, pad,
+                impl: str) -> jax.Array:
+    """Masked-dense conv kernels, two lowerings of identical math:
 
-    (Lowering notes, measured on the tunneled v5 chip at eval capacity:
-    plain NDHWC conv3d = 42.7 ms for the (28, 800, 704, 16->16) stage-1
-    conv; a z-tap 2D decomposition and a z-folded 448-channel 2D conv were
-    tried and measured slower/equal once pad/slice materialization is
-    counted — conv3d is the keeper.)"""
+    * ``conv3d`` — one NDHWC conv3d. Fastest FORWARD on the measured chip
+      (42.7 ms stage-1 conv; the 2D decomposition measures 1.5x slower fwd
+      due to pad/slice materialization). BUT its backward materializes
+      transposed copies with a pathological {C-minor, B-sublane} layout —
+      16x padding expansion, two 7.5 GB temps at eval capacity.
+    * ``2d`` — kz z-shifted conv2d calls (z folded into the batch dim).
+      Standard conv2d backward layouts; the training-time choice.
+    """
+    b, z, yy, xx, cin = x.shape
+    kz = w.shape[0]
+    sz, sy, sx = stride
+    pz, py, px = pad
+    # output dtype follows the input dtype (MXU still accumulates f32);
+    # a forced f32 preferred_element_type breaks the filter-gradient
+    # transpose rule under bf16 activations (cotangent/operand mismatch)
+    if impl == "conv3d":
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=stride, padding=[(p, p) for p in pad],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    # one conv2d over ALL z planes per z-tap, then combine with z-shifted
+    # output slices: out[zo] = sum_dz conv2d(x, w[dz])[zo*sz - pz + dz].
+    # No full-tensor jnp.pad — input z-padding materializes 4.6x-padded
+    # layouts in the backward (measured OOM).
+    zo = (z + 2 * pz - kz) // sz + 1
+    planes = x.reshape(b * z, yy, xx, cin)
+    out = None
+    for dz in range(kz):
+        y2 = jax.lax.conv_general_dilated(
+            planes, w[dz], window_strides=(sy, sx),
+            padding=[(py, py), (px, px)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y2 = y2.reshape(b, z, y2.shape[1], y2.shape[2], -1)
+        # z-plane index of the contribution to output zo: zi = zo*sz - pz + dz
+        zi0 = -pz + dz                       # zi at zo = 0
+        # valid zo range: 0 <= zi < z
+        lo = max(0, -(zi0 // sz) if zi0 < 0 else 0)
+        while lo * sz + zi0 < 0:
+            lo += 1
+        hi = zo
+        while hi > 0 and (hi - 1) * sz + zi0 >= z:
+            hi -= 1
+        if lo >= hi:
+            continue
+        sl = jax.lax.slice_in_dim(y2, lo * sz + zi0,
+                                  (hi - 1) * sz + zi0 + 1, sz, axis=1)
+        pad_cfg = ((0, 0), (lo, zo - hi), (0, 0), (0, 0), (0, 0))
+        contrib = jnp.pad(sl, pad_cfg)
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def dense_subm_conv3d(dt: DenseTensor, weight: jax.Array,
+                      kernel_size=3, padding=1,
+                      impl: str = "conv3d") -> DenseTensor:
+    """Submanifold conv, dense-masked: conv then restrict to the active
+    set. Numerically identical to subm_conv3d — inactive inputs are zero so
+    they contribute nothing, and the output mask IS the submanifold rule."""
     ks = _as3(kernel_size)
     pad = _as3(padding)
     cin = dt.features.shape[-1]
-    w = weight.reshape(*ks, cin, -1)
-    y = jax.lax.conv_general_dilated(
-        dt.features, w, window_strides=(1, 1, 1),
-        padding=[(p, p) for p in pad],
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
+    w = weight.reshape(*ks, cin, -1).astype(dt.features.dtype)
+    y = _dense_conv(dt.features, w, (1, 1, 1), pad, impl)
     return DenseTensor(y * dt.occ[..., None].astype(y.dtype), dt.occ)
 
 
 def dense_sparse_conv3d(dt: DenseTensor, weight: jax.Array, kernel_size=3,
-                        stride=1, padding=0) -> DenseTensor:
+                        stride=1, padding=0,
+                        impl: str = "conv3d") -> DenseTensor:
     """Strided conv, dense-masked: the output active set is every position
     whose window touches an active input (spconv SparseConv3d semantics —
     and unlike the fixed-capacity sparse path, nothing is ever truncated)."""
@@ -339,12 +386,8 @@ def dense_sparse_conv3d(dt: DenseTensor, weight: jax.Array, kernel_size=3,
     st3 = _as3(stride)
     pad = _as3(padding)
     cin = dt.features.shape[-1]
-    w = weight.reshape(*ks, cin, -1)
-    y = jax.lax.conv_general_dilated(
-        dt.features, w, window_strides=st3,
-        padding=[(p, p) for p in pad],
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
+    w = weight.reshape(*ks, cin, -1).astype(dt.features.dtype)
+    y = _dense_conv(dt.features, w, st3, pad, impl)
     occ = jax.lax.reduce_window(
         dt.occ, False, jax.lax.bitwise_or,
         window_dimensions=(1,) + ks, window_strides=(1,) + st3,
