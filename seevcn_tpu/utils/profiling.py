@@ -43,19 +43,33 @@ class AverageMeter:
 
 
 class Timer:
-    """Device-accurate timing: synchronizes on the given pytree."""
+    """Device timing: synchronizes on the given pytree.
+
+    WARNING (tunneled deployments): on the remote `axon` TPU backend
+    jax.block_until_ready returns at ENQUEUE, not completion — block-based
+    times measure dispatch latency only. Pass ``readback=True`` (or gate
+    yourself on ``float(scalar)`` of an output) to measure true execution;
+    see docs/ARCHITECTURE.md §9 and BASELINE.md.
+    """
 
     def __init__(self):
         self.meter = AverageMeter()
 
     @contextlib.contextmanager
-    def measure(self, sync=None):
+    def measure(self, sync=None, readback: bool = False):
         import jax
+        import numpy as np
 
         t0 = time.perf_counter()
         yield
         if sync is not None:
-            jax.block_until_ready(sync)
+            if readback:
+                leaves = jax.tree_util.tree_leaves(sync)
+                if leaves:
+                    np.asarray(jax.tree_util.tree_leaves(
+                        jax.tree.map(lambda x: x.ravel()[0], sync))[0])
+            else:
+                jax.block_until_ready(sync)
         self.meter.update(time.perf_counter() - t0)
 
 
