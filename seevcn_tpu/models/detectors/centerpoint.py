@@ -35,7 +35,8 @@ class CenterPoint(nn.Module):
                         mcfg.BACKBONE_3D.NAME]
         kw = {"mode": mcfg.BACKBONE_3D.get("MODE", "dense"),
               "dtype": mcfg.BACKBONE_3D.get("DTYPE", "float32")} \
-            if mcfg.BACKBONE_3D.NAME == "VoxelBackBone8x" else {}
+            if mcfg.BACKBONE_3D.NAME in ("VoxelBackBone8x",
+                                         "VoxelResBackBone8x") else {}
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d", **kw)(st, train)
         enc = bb_out["encoded_spconv_tensor"]

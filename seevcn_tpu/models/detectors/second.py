@@ -90,7 +90,7 @@ class SECONDNetIoU(nn.Module):
                     "VoxelResBackBone8x": VoxelResBackBone8x,
                     "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
         kw = {}
-        if bb_name == "VoxelBackBone8x":
+        if bb_name in ("VoxelBackBone8x", "VoxelResBackBone8x"):
             # dense-masked MXU execution by default (identical math; the
             # rulebook path is ~1.4 s of searchsorted per conv at eval
             # capacity — BACKBONE_3D.MODE: sparse opts back in);
@@ -235,7 +235,7 @@ class SECONDNet(nn.Module):
                     "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
         kw = {"mode": mcfg.BACKBONE_3D.get("MODE", "dense"),
               "dtype": mcfg.BACKBONE_3D.get("DTYPE", "float32")} \
-            if bb_name == "VoxelBackBone8x" else {}
+            if bb_name in ("VoxelBackBone8x", "VoxelResBackBone8x") else {}
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d", **kw)(st, train)
         enc = bb_out["encoded_spconv_tensor"]

@@ -173,16 +173,20 @@ class VoxelBackBone8x(nn.Module):
 
 
 class SparseBasicBlock(nn.Module):
-    """Residual subm block (spconv_backbone.py:33-66)."""
+    """Residual subm block (spconv_backbone.py:33-66). Works on either
+    execution form (SparseTensor rulebook / DenseTensor masked-dense)."""
     channels: int
 
     @nn.compact
-    def __call__(self, st: SP.SparseTensor, train: bool = False) -> SP.SparseTensor:
+    def __call__(self, st, train: bool = False):
         out = SpConvLayer(self.channels, subm=True, padding=1, name="conv1")(st, train)
         out2 = SpConvLayer(self.channels, subm=True, padding=1, use_relu=False,
                            name="conv2")(out, train)
         feats = nn.relu(out2.features + st.features)
-        feats = jnp.where(st.mask[:, None], feats, 0.0)
+        if isinstance(st, SP.DenseTensor):
+            feats = feats * st.occ[..., None].astype(feats.dtype)
+        else:
+            feats = jnp.where(st.mask[:, None], feats, 0.0)
         return out2._replace(features=feats)
 
 
@@ -190,32 +194,44 @@ class VoxelResBackBone8x(nn.Module):
     """Reference VoxelResBackBone8x (spconv_backbone.py:183-293)."""
     input_channels: int = 4
     capacities: Sequence[int] | None = None
+    mode: str = "sparse"        # "dense": masked conv3d (see VoxelBackBone8x)
+    dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, st: SP.SparseTensor, train: bool = False):
-        cap = self.capacities or [st.features.shape[0]] * 4
+    def __call__(self, st, train: bool = False):
+        if self.mode == "dense" and isinstance(st, SP.SparseTensor):
+            st = SP.to_dense_tensor(st)
+            st = st._replace(features=st.features.astype(
+                jnp.dtype(self.dtype)))
+        dense = isinstance(st, SP.DenseTensor)
+        cap = [0] * 4 if dense else \
+            (self.capacities or [st.features.shape[0]] * 4)
+        Layer = nn.remat(SpConvLayer, static_argnums=(2,)) if dense \
+            else SpConvLayer
+        Block = nn.remat(SparseBasicBlock, static_argnums=(2,)) if dense \
+            else SparseBasicBlock
 
-        x = SpConvLayer(16, subm=True, padding=1, name="conv_input")(st, train)
-        x = SparseBasicBlock(16, name="conv1_0")(x, train)
-        x_conv1 = SparseBasicBlock(16, name="conv1_1")(x, train)
+        x = Layer(16, subm=True, padding=1, name="conv_input")(st, train)
+        x = Block(16, name="conv1_0")(x, train)
+        x_conv1 = Block(16, name="conv1_1")(x, train)
 
-        x = SpConvLayer(32, subm=False, stride=2, padding=1,
-                        out_capacity=cap[0], name="conv2_down")(x_conv1, train)
-        x = SparseBasicBlock(32, name="conv2_0")(x, train)
-        x_conv2 = SparseBasicBlock(32, name="conv2_1")(x, train)
+        x = Layer(32, subm=False, stride=2, padding=1,
+                  out_capacity=cap[0], name="conv2_down")(x_conv1, train)
+        x = Block(32, name="conv2_0")(x, train)
+        x_conv2 = Block(32, name="conv2_1")(x, train)
 
-        x = SpConvLayer(64, subm=False, stride=2, padding=1,
-                        out_capacity=cap[1], name="conv3_down")(x_conv2, train)
-        x = SparseBasicBlock(64, name="conv3_0")(x, train)
-        x_conv3 = SparseBasicBlock(64, name="conv3_1")(x, train)
+        x = Layer(64, subm=False, stride=2, padding=1,
+                  out_capacity=cap[1], name="conv3_down")(x_conv2, train)
+        x = Block(64, name="conv3_0")(x, train)
+        x_conv3 = Block(64, name="conv3_1")(x, train)
 
-        x = SpConvLayer(128, subm=False, stride=2, padding=(0, 1, 1),
-                        out_capacity=cap[2], name="conv4_down")(x_conv3, train)
-        x = SparseBasicBlock(128, name="conv4_0")(x, train)
-        x_conv4 = SparseBasicBlock(128, name="conv4_1")(x, train)
+        x = Layer(128, subm=False, stride=2, padding=(0, 1, 1),
+                  out_capacity=cap[2], name="conv4_down")(x_conv3, train)
+        x = Block(128, name="conv4_0")(x, train)
+        x_conv4 = Block(128, name="conv4_1")(x, train)
 
-        out = SpConvLayer(128, subm=False, kernel_size=(3, 1, 1), stride=(2, 1, 1),
-                          padding=0, out_capacity=cap[3], name="conv_out")(x_conv4, train)
+        out = Layer(128, subm=False, kernel_size=(3, 1, 1), stride=(2, 1, 1),
+                    padding=0, out_capacity=cap[3], name="conv_out")(x_conv4, train)
 
         return {
             "encoded_spconv_tensor": out,

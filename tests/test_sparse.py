@@ -403,3 +403,25 @@ def test_backbone_dense_mode_train_grads():
     total = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
     assert np.isfinite(total) and total > 0
+
+
+def test_res_backbone_dense_mode_matches_sparse():
+    """VoxelResBackBone8x dense == sparse (residual blocks incl.)."""
+    from seevcn_tpu.models.modules.backbone3d import VoxelResBackBone8x
+
+    rng = np.random.RandomState(11)
+    st, dense, occ = _random_sparse(rng, dims=(25, 16, 24), cin=4)
+    sparse_bb = VoxelResBackBone8x(input_channels=4, mode="sparse",
+                                   capacities=[4096] * 4)
+    dense_bb = VoxelResBackBone8x(input_channels=4, mode="dense")
+    variables = sparse_bb.init({"params": jax.random.PRNGKey(0)}, st, False)
+    out_s = sparse_bb.apply(variables, st, False)["encoded_spconv_tensor"]
+    out_d = dense_bb.apply(variables, st, False)["encoded_spconv_tensor"]
+    got = np.asarray(out_d.features)
+    coords, m = np.asarray(out_s.coords), np.asarray(out_s.mask)
+    sf = np.asarray(out_s.features)
+    assert m.sum() > 0
+    for i in np.where(m)[0]:
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[b, z, y, x], sf[i],
+                                   rtol=1e-3, atol=1e-4)
