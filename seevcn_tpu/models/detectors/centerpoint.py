@@ -33,15 +33,19 @@ class CenterPoint(nn.Module):
         backbone = {"VoxelBackBone8x": VoxelBackBone8x,
                     "VoxelResBackBone8x": VoxelResBackBone8x}[
                         mcfg.BACKBONE_3D.NAME]
-        kw = {"mode": mcfg.BACKBONE_3D.get("MODE", "dense"),
+        kw = {"mode": mcfg.BACKBONE_3D.get("MODE", "zfold"),
               "dtype": mcfg.BACKBONE_3D.get("DTYPE", "float32")} \
             if mcfg.BACKBONE_3D.NAME in ("VoxelBackBone8x",
                                          "VoxelResBackBone8x") else {}
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d", **kw)(st, train)
         enc = bb_out["encoded_spconv_tensor"]
-        bev = SP.dense_height_compression(enc) \
-            if isinstance(enc, SP.DenseTensor) else height_compression(enc)
+        if isinstance(enc, SP.ZFoldTensor):
+            bev = SP.zfold_height_compression(enc)
+        elif isinstance(enc, SP.DenseTensor):
+            bev = SP.dense_height_compression(enc)
+        else:
+            bev = height_compression(enc)
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
             layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),

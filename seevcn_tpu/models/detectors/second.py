@@ -95,15 +95,19 @@ class SECONDNetIoU(nn.Module):
             # rulebook path is ~1.4 s of searchsorted per conv at eval
             # capacity — BACKBONE_3D.MODE: sparse opts back in);
             # DTYPE: bfloat16 halves dense HBM for training at capacity
-            kw["mode"] = mcfg.BACKBONE_3D.get("MODE", "dense")
+            kw["mode"] = mcfg.BACKBONE_3D.get("MODE", "zfold")
             kw["dtype"] = mcfg.BACKBONE_3D.get("DTYPE", "float32")
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d", **kw)(st, train)
 
         # --- BEV ------------------------------------------------------------
         enc = bb_out["encoded_spconv_tensor"]
-        bev = SP.dense_height_compression(enc) \
-            if isinstance(enc, SP.DenseTensor) else height_compression(enc)
+        if isinstance(enc, SP.ZFoldTensor):
+            bev = SP.zfold_height_compression(enc)
+        elif isinstance(enc, SP.DenseTensor):
+            bev = SP.dense_height_compression(enc)
+        else:
+            bev = height_compression(enc)
         bev = constrain_bev(bev)
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
@@ -233,14 +237,18 @@ class SECONDNet(nn.Module):
         backbone = {"VoxelBackBone8x": VoxelBackBone8x,
                     "VoxelResBackBone8x": VoxelResBackBone8x,
                     "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
-        kw = {"mode": mcfg.BACKBONE_3D.get("MODE", "dense"),
+        kw = {"mode": mcfg.BACKBONE_3D.get("MODE", "zfold"),
               "dtype": mcfg.BACKBONE_3D.get("DTYPE", "float32")} \
             if bb_name in ("VoxelBackBone8x", "VoxelResBackBone8x") else {}
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d", **kw)(st, train)
         enc = bb_out["encoded_spconv_tensor"]
-        bev = SP.dense_height_compression(enc) \
-            if isinstance(enc, SP.DenseTensor) else height_compression(enc)
+        if isinstance(enc, SP.ZFoldTensor):
+            bev = SP.zfold_height_compression(enc)
+        elif isinstance(enc, SP.DenseTensor):
+            bev = SP.dense_height_compression(enc)
+        else:
+            bev = height_compression(enc)
         bev = constrain_bev(bev)
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(

@@ -77,9 +77,22 @@ class SpConvLayer(nn.Module):
     def __call__(self, st, train: bool = False):
         ks = SP._as3(self.kernel_size)
         k = ks[0] * ks[1] * ks[2]
-        cin = st.features.shape[-1]
+        cin = st.channels if isinstance(st, SP.ZFoldTensor) \
+            else st.features.shape[-1]
         w = self.param("kernel", nn.initializers.variance_scaling(
             1.0, "fan_in", "truncated_normal"), (k, cin, self.out_channels))
+        if isinstance(st, SP.ZFoldTensor):
+            out = SP.zfold_conv(st, w, self.out_channels, kernel_size=ks,
+                                stride=self.stride, padding=self.padding,
+                                subm=self.subm)
+            b, yy, xx, _ = out.features.shape
+            f = out.features.reshape(b, yy, xx, out.z, self.out_channels)
+            f = DenseMaskedBatchNorm(name="bn")(f, out.occ, train)
+            if self.use_relu:
+                f = nn.relu(f)
+            f = f.astype(st.features.dtype)
+            return out._replace(
+                features=f.reshape(b, yy, xx, out.z * self.out_channels))
         if isinstance(st, SP.DenseTensor):
             # conv3d lowering is the fast FORWARD; its backward materializes
             # 16x-padded transposed copies (7.5 GB at eval capacity), so
@@ -126,11 +139,14 @@ class VoxelBackBone8x(nn.Module):
 
     @nn.compact
     def __call__(self, st, train: bool = False):
-        if self.mode == "dense" and isinstance(st, SP.SparseTensor):
-            st = SP.to_dense_tensor(st)
-            st = st._replace(features=st.features.astype(
-                jnp.dtype(self.dtype)))
-        dense = isinstance(st, SP.DenseTensor)
+        if isinstance(st, SP.SparseTensor):
+            if self.mode == "zfold":
+                st = SP.to_zfold_tensor(st, dtype=jnp.dtype(self.dtype))
+            elif self.mode == "dense":
+                st = SP.to_dense_tensor(st)
+                st = st._replace(features=st.features.astype(
+                    jnp.dtype(self.dtype)))
+        dense = isinstance(st, (SP.DenseTensor, SP.ZFoldTensor))
         cap = [0] * 4 if dense else \
             (self.capacities or [st.features.shape[0]] * 4)
         # dense activations at eval capacity are ~1.4 GB each — remat every
@@ -183,7 +199,12 @@ class SparseBasicBlock(nn.Module):
         out2 = SpConvLayer(self.channels, subm=True, padding=1, use_relu=False,
                            name="conv2")(out, train)
         feats = nn.relu(out2.features + st.features)
-        if isinstance(st, SP.DenseTensor):
+        if isinstance(st, SP.ZFoldTensor):
+            b, yy, xx, _ = feats.shape
+            f5 = feats.reshape(b, yy, xx, st.z, st.channels)
+            f5 = f5 * st.occ[..., None].astype(f5.dtype)
+            feats = f5.reshape(b, yy, xx, st.z * st.channels)
+        elif isinstance(st, SP.DenseTensor):
             feats = feats * st.occ[..., None].astype(feats.dtype)
         else:
             feats = jnp.where(st.mask[:, None], feats, 0.0)
@@ -199,11 +220,14 @@ class VoxelResBackBone8x(nn.Module):
 
     @nn.compact
     def __call__(self, st, train: bool = False):
-        if self.mode == "dense" and isinstance(st, SP.SparseTensor):
-            st = SP.to_dense_tensor(st)
-            st = st._replace(features=st.features.astype(
-                jnp.dtype(self.dtype)))
-        dense = isinstance(st, SP.DenseTensor)
+        if isinstance(st, SP.SparseTensor):
+            if self.mode == "zfold":
+                st = SP.to_zfold_tensor(st, dtype=jnp.dtype(self.dtype))
+            elif self.mode == "dense":
+                st = SP.to_dense_tensor(st)
+                st = st._replace(features=st.features.astype(
+                    jnp.dtype(self.dtype)))
+        dense = isinstance(st, (SP.DenseTensor, SP.ZFoldTensor))
         cap = [0] * 4 if dense else \
             (self.capacities or [st.features.shape[0]] * 4)
         Layer = nn.remat(SpConvLayer, static_argnums=(2,)) if dense \

@@ -395,6 +395,100 @@ def dense_sparse_conv3d(dt: DenseTensor, weight: jax.Array, kernel_size=3,
     return DenseTensor(y * occ[..., None].astype(y.dtype), occ)
 
 
+class ZFoldTensor(NamedTuple):
+    """Dense-masked tensor with z folded into channels: features
+    (B, Y, X, Z*C) with z-major channel blocks, occ (B, Y, X, Z).
+
+    On the measured chip, conv3d at C=16 wastes 7/8 of the 128-wide lanes;
+    folding z turns the 3D conv into a single 2D conv with a block-banded
+    (Zin*Cin, Zout*Cout) channel matrix — measured 25.5 ms vs 42.7 ms for
+    the stage-1 conv. The z taps become matrix structure:
+      W2[ky, kx, zi*Cin + ci, zo*Cout + co] = W[dz, ky, kx, ci, co]
+      where zi = zo*stride_z - pad_z + dz.
+    """
+    features: jax.Array
+    occ: jax.Array
+    z: int                      # static z extent
+    channels: int               # static true channel count
+
+
+# z/channels must stay STATIC under jit/remat (they size parameter shapes),
+# so register them as pytree aux data instead of leaves
+jax.tree_util.register_pytree_node(
+    ZFoldTensor,
+    lambda t: ((t.features, t.occ), (t.z, t.channels)),
+    lambda aux, ch: ZFoldTensor(ch[0], ch[1], aux[0], aux[1]))
+
+
+def to_zfold_tensor(st: SparseTensor, dtype=jnp.float32) -> ZFoldTensor:
+    dt = to_dense_tensor(st)
+    b, z, yy, xx, c = dt.features.shape
+    feats = jnp.transpose(dt.features, (0, 2, 3, 1, 4)).reshape(
+        b, yy, xx, z * c).astype(dtype)
+    occ = jnp.transpose(dt.occ, (0, 2, 3, 1))
+    return ZFoldTensor(feats, occ, z, c)
+
+
+def _zfold_weight(weight: jax.Array, kz: int, zin: int, zout: int,
+                  sz: int, pz: int):
+    """(K, Cin, Cout) rulebook weight -> banded (ky, kx, Zin*Cin, Zout*Cout)
+    + the (Zout, Zin) z-adjacency used for occupancy propagation."""
+    k, cin, cout = weight.shape
+    ky = kx = int(round((k // kz) ** 0.5))
+    w5 = weight.reshape(kz, ky, kx, cin, cout)
+    sel = np.zeros((zout, kz, zin), np.float32)
+    for zo in range(zout):
+        for dz in range(kz):
+            zi = zo * sz - pz + dz
+            if 0 <= zi < zin:
+                sel[zo, dz, zi] = 1.0
+    s = jnp.asarray(sel)
+    # W2[a, b, (zi, ci), (zo, co)] = sum_dz sel[zo, dz, zi] w5[dz, a, b, ci, co]
+    w2 = jnp.einsum("zdi,dabco->abiczo", s, w5, precision="highest")
+    w2 = w2.reshape(ky, kx, zin * cin, zout * cout)
+    zadj = jnp.asarray((sel.sum(axis=1) > 0).astype(np.float32))  # (Zout, Zin)
+    return w2, zadj
+
+
+def zfold_conv(zt: ZFoldTensor, weight: jax.Array, out_channels: int,
+               kernel_size=3, stride=1, padding=0,
+               subm: bool = False) -> ZFoldTensor:
+    """Sub-manifold or strided conv on the z-folded layout — one conv2d."""
+    ks = _as3(kernel_size)
+    sz, sy, sx = (1, 1, 1) if subm else _as3(stride)
+    pz, py, px = _as3(padding)
+    zin = zt.z
+    zout = zin if subm else (zin + 2 * pz - ks[0]) // sz + 1
+    w2, zadj = _zfold_weight(weight, ks[0], zin, zout, sz, pz)
+    y = jax.lax.conv_general_dilated(
+        zt.features, w2.astype(zt.features.dtype), window_strides=(sy, sx),
+        padding=[(py, py), (px, px)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if subm:
+        occ = zt.occ
+    else:
+        spat = jax.lax.reduce_window(
+            zt.occ, False, jax.lax.bitwise_or,
+            window_dimensions=(1, ks[1], ks[2], 1),
+            window_strides=(1, sy, sx, 1),
+            padding=[(0, 0), (py, py), (px, px), (0, 0)])
+        occ = jnp.einsum("byxi,zi->byxz", spat.astype(jnp.float32),
+                         zadj) > 0
+    b, yy, xx, _ = y.shape
+    y = y.reshape(b, yy, xx, zout, out_channels) * \
+        occ[..., None].astype(y.dtype)
+    return ZFoldTensor(y.reshape(b, yy, xx, zout * out_channels), occ,
+                       zout, out_channels)
+
+
+def zfold_height_compression(zt: ZFoldTensor) -> jax.Array:
+    """-> (B, Y, X, C*Z) with the reference's (c*Z + z) channel order."""
+    b, yy, xx, _ = zt.features.shape
+    f = zt.features.reshape(b, yy, xx, zt.z, zt.channels)
+    return jnp.transpose(f, (0, 1, 2, 4, 3)).reshape(
+        b, yy, xx, zt.channels * zt.z)
+
+
 def dense_height_compression(dt: DenseTensor) -> jax.Array:
     """(B, nz, ny, nx, C) -> (B, ny, nx, C*nz) with the SAME (c*nz + z)
     channel order as map_to_bev.height_compression (ckpt-compatible)."""

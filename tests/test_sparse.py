@@ -425,3 +425,35 @@ def test_res_backbone_dense_mode_matches_sparse():
         b, z, y, x = coords[i]
         np.testing.assert_allclose(got[b, z, y, x], sf[i],
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_backbone_zfold_mode_matches_sparse():
+    """mode='zfold' (z folded into conv2d channel blocks) == sparse."""
+    from seevcn_tpu.models.modules.backbone3d import VoxelBackBone8x
+    from seevcn_tpu.models.modules.map_to_bev import height_compression
+
+    rng = np.random.RandomState(12)
+    st, dense, occ = _random_sparse(rng, dims=(25, 16, 24), cin=4)
+    sparse_bb = VoxelBackBone8x(input_channels=4, mode="sparse",
+                                capacities=[4096] * 4)
+    zf_bb = VoxelBackBone8x(input_channels=4, mode="zfold")
+    variables = sparse_bb.init({"params": jax.random.PRNGKey(0)}, st, False)
+    out_s = sparse_bb.apply(variables, st, False)["encoded_spconv_tensor"]
+    out_z = zf_bb.apply(variables, st, False)["encoded_spconv_tensor"]
+    assert isinstance(out_z, SP.ZFoldTensor)
+    bev_s = np.asarray(height_compression(out_s))
+    bev_z = np.asarray(SP.zfold_height_compression(out_z))
+    assert bev_z.shape == bev_s.shape
+    np.testing.assert_allclose(bev_z, bev_s, rtol=1e-3, atol=1e-4)
+
+    # gradients flow and are finite in zfold train mode
+    def loss(params):
+        out, _ = zf_bb.apply({"params": params,
+                              "batch_stats": variables["batch_stats"]},
+                             st, True, mutable=["batch_stats"])
+        return jnp.sum(out["encoded_spconv_tensor"].features ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    total = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
+    assert np.isfinite(total) and total > 0
