@@ -97,24 +97,33 @@ def _voxelize_impl(points: jax.Array, valid: jax.Array, *,
     if max_points_per_voxel > 0:
         contributes = contributes & (in_run_pos < max_points_per_voxel)
 
+    # run_id is NONDECREASING (cumsum over the sorted keys' run heads), so
+    # every segment reduction can tell XLA indices_are_sorted — duplicate-
+    # index scatter-adds otherwise serialize on TPU
     seg = jnp.where(contributes, run_id, max_voxels)
     w = contributes.astype(points.dtype)
-    feat_sum = jnp.zeros((max_voxels + 1, points.shape[1]), points.dtype
-                         ).at[seg].add(spts * w[:, None])
-    cnt = jnp.zeros((max_voxels + 1,), points.dtype).at[seg].add(w)
+    feat_sum = jax.ops.segment_sum(spts * w[:, None], seg,
+                                   num_segments=max_voxels + 1,
+                                   indices_are_sorted=True)
+    cnt = jax.ops.segment_sum(w, seg, num_segments=max_voxels + 1,
+                              indices_are_sorted=True)
     features = feat_sum[:max_voxels] / jnp.maximum(cnt[:max_voxels, None], 1.0)
 
     # uncapped per-voxel counts (reference voxel_num_points)
-    cnt_all = jnp.zeros((max_voxels + 1,), jnp.int32).at[
-        jnp.where(run_id < max_voxels, run_id, max_voxels)].add(svalid.astype(jnp.int32))
+    cnt_all = jax.ops.segment_sum(
+        svalid.astype(jnp.int32),
+        jnp.where(run_id < max_voxels, run_id, max_voxels),
+        num_segments=max_voxels + 1, indices_are_sorted=True)
     num_points = cnt_all[:max_voxels]
 
     # voxel coords: gather the sorted coords at run heads, compacted
     csorted = c[order]
     head_rank = jnp.where(head & (run_id < max_voxels), run_id, max_voxels)
     coords_zyx = jnp.stack([csorted[:, 2], csorted[:, 1], csorted[:, 0]], axis=1)
-    coords = jnp.zeros((max_voxels + 1, 3), jnp.int32).at[head_rank].max(coords_zyx)
-    coords = coords[:max_voxels]
+    coords = jax.ops.segment_max(coords_zyx, head_rank,
+                                 num_segments=max_voxels + 1,
+                                 indices_are_sorted=True)
+    coords = jnp.maximum(coords, 0)[:max_voxels]
 
     vmask = num_points > 0
     point_voxel_id = jnp.where(run_id < max_voxels, run_id, -1)
