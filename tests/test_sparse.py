@@ -457,3 +457,57 @@ def test_backbone_zfold_mode_matches_sparse():
     total = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
     assert np.isfinite(total) and total > 0
+
+
+def test_zfold_conv_unit_cases():
+    """zfold_conv == dense conv3d for every backbone conv signature."""
+    rng = np.random.RandomState(13)
+    cases = [
+        # (kernel, stride, padding, subm)
+        (3, 1, 1, True),            # subm 3x3x3
+        (3, 2, 1, False),           # stage downsample
+        (3, 2, (0, 1, 1), False),   # conv4_down (z pad 0)
+        ((3, 1, 1), (2, 1, 1), 0, False),  # conv_out
+    ]
+    for kernel, stride, padding, subm in cases:
+        st, dense, occ = _random_sparse(rng, dims=(7, 10, 12), cin=5,
+                                        density=0.2)
+        ks = SP._as3(kernel)
+        k = ks[0] * ks[1] * ks[2]
+        w = jnp.asarray(rng.randn(k, 5, 6).astype(np.float32) * 0.3)
+        zt = SP.to_zfold_tensor(st)
+        out = SP.zfold_conv(zt, w, 6, kernel_size=kernel, stride=stride,
+                            padding=padding, subm=subm)
+        dt = SP.to_dense_tensor(st)
+        ref = SP.dense_subm_conv3d(dt, w, kernel_size=kernel,
+                                   padding=padding) if subm else \
+            SP.dense_sparse_conv3d(dt, w, kernel_size=kernel, stride=stride,
+                                   padding=padding)
+        got = np.asarray(out.features).reshape(
+            out.features.shape[0], out.features.shape[1],
+            out.features.shape[2], out.z, out.channels)
+        got = np.transpose(got, (0, 3, 1, 2, 4))     # -> (B, Z, Y, X, C)
+        np.testing.assert_allclose(got, np.asarray(ref.features),
+                                   atol=1e-4, err_msg=str((kernel, stride,
+                                                           padding, subm)))
+        occ_got = np.transpose(np.asarray(out.occ), (0, 3, 1, 2))
+        np.testing.assert_array_equal(occ_got, np.asarray(ref.occ))
+
+
+def test_zfold_bf16_finite_close():
+    """bf16 zfold stays close to f32 (mixed-precision training dtype)."""
+    from seevcn_tpu.models.modules.backbone3d import VoxelBackBone8x
+
+    rng = np.random.RandomState(14)
+    st, dense, occ = _random_sparse(rng, dims=(25, 16, 24), cin=4)
+    f32_bb = VoxelBackBone8x(input_channels=4, mode="zfold")
+    bf_bb = VoxelBackBone8x(input_channels=4, mode="zfold",
+                            dtype="bfloat16")
+    variables = f32_bb.init({"params": jax.random.PRNGKey(0)}, st, False)
+    a = f32_bb.apply(variables, st, False)["encoded_spconv_tensor"]
+    b = bf_bb.apply(variables, st, False)["encoded_spconv_tensor"]
+    fa = np.asarray(a.features, np.float32)
+    fb = np.asarray(b.features, np.float32)
+    assert np.isfinite(fb).all()
+    denom = np.maximum(np.abs(fa).max(), 1e-6)
+    assert np.abs(fa - fb).max() / denom < 0.1
