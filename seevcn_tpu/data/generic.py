@@ -250,14 +250,21 @@ class NuScenesDataset(_InfosDataset):
             return points
         pts_list = [points]
         times = [np.zeros((len(points), 1), points.dtype)]
-        rng = np.random.RandomState(len(sweeps))
-        for k in rng.choice(len(sweeps), min(max_sweeps - 1, len(sweeps)),
-                            replace=False):
+        # fresh draw per call (reference nuscenes_dataset.py:97 uses
+        # np.random.choice) via a dataset-owned rng — a constant-seeded
+        # RandomState here would pick the SAME sweep subset for every
+        # frame and epoch (ADVICE r2, low)
+        if not hasattr(self, "_sweep_rng"):
+            self._sweep_rng = np.random.RandomState(20260817)
+        for k in self._sweep_rng.choice(
+                len(sweeps), min(max_sweeps - 1, len(sweeps)), replace=False):
             p, t = self.get_sweep(sweeps[k])
             pts_list.append(p)
             times.append(t)
-        return np.hstack([np.vstack(pts_list),
-                          np.vstack(times).astype(points.dtype)])
+        merged = np.vstack(pts_list)
+        if not self._wants_timestamp():
+            return merged
+        return np.hstack([merged, np.vstack(times).astype(points.dtype)])
 
     def _wants_timestamp(self) -> bool:
         enc = self.dataset_cfg.get("POINT_FEATURE_ENCODING", {})

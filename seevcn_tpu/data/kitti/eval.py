@@ -439,10 +439,15 @@ def get_official_eval_result(gt_annos, dt_annos, classes=("Car",)):
             break
     results = {}
     lines = []
+    # one IoU pass per metric, shared across classes (the reference's
+    # calculate_iou_partly runs once per metric in do_eval; recomputing
+    # inside the class loop multiplies the device IoU work by num_classes)
+    overlaps_by_metric = {m: compute_overlaps(gt_annos, dt_annos, m)
+                          for m in ("bbox", "bev", "3d")}
     for cls in classes:
         results[cls] = {}
         for metric in ("bbox", "bev", "3d"):
-            overlaps = compute_overlaps(gt_annos, dt_annos, metric)
+            overlaps = overlaps_by_metric[metric]
             results[cls][metric] = {}
             want_aos = compute_aos and metric == "bbox"
             if want_aos:

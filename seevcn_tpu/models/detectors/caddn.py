@@ -37,11 +37,20 @@ def lid_bin_edges(depth_min: float, depth_max: float, num_bins: int):
 
 
 def depth_to_lid_bin(depth, depth_min, depth_max, num_bins):
-    """Continuous depth -> LID bin index (inverse of lid_bin_edges)."""
+    """Continuous depth -> LID bin index (inverse of lid_bin_edges).
+
+    Matches the reference's bin_depths(..., target=True) semantics
+    (ffn/ddn_loss transform_utils): any out-of-range depth — BELOW
+    depth_min (including the 0s that mark missing pixels in sparse depth
+    maps) as well as beyond depth_max — and any non-finite depth maps to
+    ``num_bins``, the 'beyond range' class, so the focal loss never
+    supervises missing-depth pixels toward the nearest bin."""
     delta = 2 * (depth_max - depth_min) / (num_bins * (1 + num_bins))
     x = jnp.maximum(2 * (depth - depth_min) / delta + 0.25, 0.0)
     idx = jnp.floor(-0.5 + jnp.sqrt(x)).astype(jnp.int32)
-    return jnp.clip(idx, 0, num_bins)  # == num_bins means out of range
+    invalid = (~jnp.isfinite(depth)) | (depth < depth_min) | (idx < 0) \
+        | (idx >= num_bins)
+    return jnp.where(invalid, num_bins, jnp.clip(idx, 0, num_bins))
 
 
 class ImageBackbone(nn.Module):

@@ -97,30 +97,33 @@ def _voxelize_impl(points: jax.Array, valid: jax.Array, *,
     if max_points_per_voxel > 0:
         contributes = contributes & (in_run_pos < max_points_per_voxel)
 
-    # run_id is NONDECREASING (cumsum over the sorted keys' run heads), so
-    # every segment reduction can tell XLA indices_are_sorted — duplicate-
-    # index scatter-adds otherwise serialize on TPU
-    seg = jnp.where(contributes, run_id, max_voxels)
+    # run_id (post-clamp) IS nondecreasing: it is a cumsum over the sorted
+    # keys' run heads, clamped to max_voxels, and invalid rows sort to the
+    # end — so indices_are_sorted=True is genuinely valid for run_id. Every
+    # reduction below segments on run_id directly; rows that must not
+    # contribute (per-voxel point cap) carry ZERO WEIGHT instead of being
+    # re-routed to an interleaved sentinel segment (which would break the
+    # sortedness claim and make XLA output undefined — ADVICE r2, high).
     w = contributes.astype(points.dtype)
-    feat_sum = jax.ops.segment_sum(spts * w[:, None], seg,
+    feat_sum = jax.ops.segment_sum(spts * w[:, None], run_id,
                                    num_segments=max_voxels + 1,
                                    indices_are_sorted=True)
-    cnt = jax.ops.segment_sum(w, seg, num_segments=max_voxels + 1,
+    cnt = jax.ops.segment_sum(w, run_id, num_segments=max_voxels + 1,
                               indices_are_sorted=True)
     features = feat_sum[:max_voxels] / jnp.maximum(cnt[:max_voxels, None], 1.0)
 
     # uncapped per-voxel counts (reference voxel_num_points)
     cnt_all = jax.ops.segment_sum(
-        svalid.astype(jnp.int32),
-        jnp.where(run_id < max_voxels, run_id, max_voxels),
+        svalid.astype(jnp.int32), run_id,
         num_segments=max_voxels + 1, indices_are_sorted=True)
     num_points = cnt_all[:max_voxels]
 
-    # voxel coords: gather the sorted coords at run heads, compacted
+    # voxel coords: every row of a run shares the SAME voxel coords (same
+    # key), so a plain segment_max over run_id reproduces the head row's
+    # coords without any head-interleaved sentinel segmenting
     csorted = c[order]
-    head_rank = jnp.where(head & (run_id < max_voxels), run_id, max_voxels)
     coords_zyx = jnp.stack([csorted[:, 2], csorted[:, 1], csorted[:, 0]], axis=1)
-    coords = jax.ops.segment_max(coords_zyx, head_rank,
+    coords = jax.ops.segment_max(coords_zyx, run_id,
                                  num_segments=max_voxels + 1,
                                  indices_are_sorted=True)
     coords = jnp.maximum(coords, 0)[:max_voxels]
