@@ -24,7 +24,7 @@ import os
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", required=True,
-                    choices=["kitti", "nuscenes", "waymo"])
+                    choices=["kitti", "nuscenes", "waymo", "lyft"])
     ap.add_argument("--root", required=True, help="dataset root path")
     ap.add_argument("--save_path", default=None,
                     help="output dir (default: root)")
@@ -74,6 +74,19 @@ def main(argv=None):
             create_nuscenes_groundtruth_database(
                 args.root, paths["train"], used_classes=args.classes,
                 max_sweeps=args.max_sweeps)
+    elif args.dataset == "lyft":
+        from ..data.lyft_bootstrap import (create_lyft_groundtruth_database,
+                                           create_lyft_infos)
+
+        version = args.version if args.version != "v1.0-trainval" \
+            else "trainval"
+        paths = create_lyft_infos(args.root, version=version,
+                                  max_sweeps=args.max_sweeps,
+                                  save_path=args.save_path)
+        if not args.no_gt_database and "train" in paths:
+            create_lyft_groundtruth_database(
+                args.root, version, paths["train"],
+                used_classes=args.classes)
     else:  # waymo
         from ..data.waymo_bootstrap import (create_waymo_groundtruth_database,
                                             create_waymo_infos)

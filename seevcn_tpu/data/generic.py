@@ -304,6 +304,62 @@ class SCNuScenesDataset(NuScenesDataset):
         return read_pcd(path)
 
 
+class LyftDataset(NuScenesDataset):
+    """Lyft Level-5 (lyft_dataset.py:13-118): infos carry gt_boxes/gt_names
+    + lidar_path + sweeps, exactly the nuScenes layout (the Lyft release is
+    a nuScenes-format fork), with 5-float .bin points and the same
+    remove-ego + transform sweep aggregation — so the loader is inherited.
+    EVAL_METRIC 'lyft' runs the native class-average 3D-IoU mAP
+    (lyft_eval.py, devkit-free; thresholds EVAL_LYFT_IOU_LIST,
+    lyft_dataset.py:179-205), 'kitti' the KITTI protocol
+    (lyft_dataset.py:153-177 kitti_eval)."""
+
+    #: lyft_dataset.py:154-160 map_name_to_kitti
+    MAP_NAME_TO_KITTI = {"car": "Car", "pedestrian": "Pedestrian",
+                         "truck": "Truck", "bicycle": "Cyclist",
+                         "motorcycle": "Cyclist"}
+
+    def evaluation(self, det_annos, class_names, **kw):
+        metric = kw.get("eval_metric",
+                        self.dataset_cfg.get("EVAL_METRIC", "lyft"))
+        if metric == "lyft":
+            from .lyft_eval import lyft_eval
+
+            gt_annos = [info.get("annos", {
+                "name": np.asarray(info.get("gt_names", [])),
+                "gt_boxes_lidar": np.asarray(info.get("gt_boxes",
+                                                      np.zeros((0, 7))))})
+                        for info in self.infos]
+            det = copy.deepcopy(det_annos)
+            for d in det:
+                if "boxes_lidar" not in d and "pred_boxes" in d:
+                    d["boxes_lidar"] = np.asarray(d["pred_boxes"])
+                if "name" not in d:
+                    d["name"] = np.array(class_names)[
+                        np.asarray(d["pred_labels"], int) - 1] if len(
+                            d.get("pred_labels", [])) else np.array([])
+                if "score" not in d:
+                    d["score"] = np.asarray(d.get("pred_scores", []))
+            return lyft_eval(det, gt_annos, list(class_names),
+                             iou_thresholds=self.dataset_cfg.get(
+                                 "EVAL_LYFT_IOU_LIST"))
+        return self._kitti_protocol_eval(det_annos, class_names)
+
+
+class SCLyftDataset(LyftDataset):
+    """Surface-completed Lyft variant (same pattern as the other SC*
+    datasets; the reference ships no sc_lyft, provided for symmetry)."""
+
+    def get_lidar(self, info) -> np.ndarray:
+        rel = info.get("completed_lidar_path")
+        if rel is None:
+            tag = self.dataset_cfg.get("PROCESSED_DATA_TAG", "vcn")
+            token = info.get("token", "")
+            rel = os.path.join(tag, f"{token}.pcd")
+        path = rel if os.path.isabs(rel) else os.path.join(self.root_path, rel)
+        return read_pcd(path)
+
+
 class WaymoDataset(_InfosDataset):
     """Waymo (waymo_dataset.py): per-sequence npy point files. EVAL_METRIC
     'waymo' runs the native AP/APH L1/L2 evaluator (waymo_eval.py,

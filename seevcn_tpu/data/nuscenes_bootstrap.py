@@ -111,10 +111,14 @@ class NuScenesTables:
               "ego_pose", "sample_annotation", "instance", "category",
               "sensor")
 
-    def __init__(self, root: str, version: str = "v1.0-trainval"):
+    def __init__(self, root: str, version: str = "v1.0-trainval",
+                 table_dir: str | None = None):
+        """table_dir overrides the json directory (default
+        <root>/<version>; the Lyft release keeps the same tables at
+        <root>/data with data files relative to <root>)."""
         self.root = root
         self.version = version
-        tdir = os.path.join(root, version)
+        tdir = table_dir or os.path.join(root, version)
         self._tables = {}
         self._index = {}
         for name in self.TABLES:
@@ -210,8 +214,8 @@ def _boxes_in_sensor_frame(nusc: NuScenesTables, ann_tokens, cs_rec, pose_rec):
             "center": c, "wlh": np.asarray(ann["size"], np.float64),
             "yaw": quaternion_yaw(q), "velocity": vel,
             "name": nusc.category_name(ann), "token": tok,
-            "num_lidar_pts": ann.get("num_lidar_pts", 0),
-            "num_radar_pts": ann.get("num_radar_pts", 0),
+            "num_lidar_pts": ann.get("num_lidar_pts", -1),   # -1: no field
+            "num_radar_pts": ann.get("num_radar_pts", -1),   # (Lyft tables)
         })
     return out
 
@@ -287,7 +291,11 @@ def fill_trainval_infos(nusc: NuScenesTables, train_scenes, val_scenes,
                                            ref_cs, ref_pose)
             num_lidar_pts = np.array([b["num_lidar_pts"] for b in boxes])
             num_radar_pts = np.array([b["num_radar_pts"] for b in boxes])
-            mask = (num_lidar_pts + num_radar_pts) > 0
+            # Lyft annotation tables carry no point-count fields (-1
+            # sentinel) — keep those rows; nuScenes drops point-free boxes
+            # like the devkit (nuscenes_utils.py:331)
+            mask = ((num_lidar_pts + num_radar_pts) > 0) | \
+                (num_lidar_pts < 0)
 
             locs = np.array([b["center"] for b in boxes]).reshape(-1, 3)
             # wlh -> (l, w, h) = dxdydz

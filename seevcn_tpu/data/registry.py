@@ -3,13 +3,16 @@ see/surface_completion/SEE_VCN.py __DATASETS__)."""
 from __future__ import annotations
 
 from .demo_dataset import DemoObjects
-from .generic import (CustomDataset, NuScenesDataset, SCCustomDataset,
-                      SCNuScenesDataset, SCWaymoDataset, WaymoDataset)
+from .generic import (CustomDataset, LyftDataset, NuScenesDataset,
+                      SCCustomDataset, SCLyftDataset, SCNuScenesDataset,
+                      SCWaymoDataset, WaymoDataset)
 from .kitti.dataset import KittiDataset, SCKittiDataset
 
 DATASETS = {
     "KittiDataset": KittiDataset,
     "SCKittiDataset": SCKittiDataset,
+    "LyftDataset": LyftDataset,
+    "SCLyftDataset": SCLyftDataset,
     "NuScenesDataset": NuScenesDataset,
     "SCNuScenesDataset": SCNuScenesDataset,
     "WaymoDataset": WaymoDataset,

@@ -24,7 +24,7 @@ from ...ops.voxelize import voxelize_batch
 from ..losses import binary_cross_entropy_with_logits
 from ..modules.backbone2d import BaseBEVBackbone
 from ..modules.dense_heads import AnchorHeadSingle
-from ..modules.map_to_bev import height_compression
+from ..modules.map_to_bev import height_compression_any
 
 from ..modules.pvrcnn_head import decode_rcnn_boxes, pvrcnn_rcnn_loss
 from ..modules.roi_heads import proposal_layer, sample_rois_for_rcnn
@@ -48,6 +48,8 @@ class PartA2(nn.Module):
         st = SP.make_sparse_tensor(feats, coords, mask, nzyx, points.shape[0])
 
         bb = UNetV2(input_channels=cfg.num_point_features,
+                    mode=mcfg.BACKBONE_3D.get("MODE", "hybrid"),
+                    dtype=mcfg.BACKBONE_3D.get("DTYPE", "float32"),
                     name="backbone_3d")(st, train)
         pf: SP.SparseTensor = bb["point_features"]
 
@@ -55,7 +57,7 @@ class PartA2(nn.Module):
         seg_logits = nn.Dense(1, name="seg_out")(pf.features)[:, 0]
         part_reg = nn.Dense(3, name="part_out")(pf.features)
 
-        bev = height_compression(bb["encoded_spconv_tensor"])
+        bev = height_compression_any(bb["encoded_spconv_tensor"])
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
             layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),

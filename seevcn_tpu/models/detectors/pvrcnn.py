@@ -20,13 +20,41 @@ from ..modules.backbone3d import (VoxelBackBone8x,
                                   VoxelBackBone8xFocal,
                                   VoxelResBackBone8x)
 from ..modules.dense_heads import AnchorHeadSingle
-from ..modules.map_to_bev import height_compression
+from ..modules.map_to_bev import height_compression_any
 from ..modules.pfe import VoxelSetAbstraction
 from ..modules.pvrcnn_head import (PVRCNNHead, PointHeadSimple,
                                    decode_rcnn_boxes, point_head_loss,
                                    pvrcnn_rcnn_loss)
 from ..modules.roi_heads import proposal_layer, sample_rois_for_rcnn
 from .second import DetectorConfig
+
+
+def _run_backbone_multi_scale(cfg, st, batch_size: int, train: bool):
+    """Run the 3D backbone in its configured execution mode and return
+    (bb_out, multi_scale_3d as SparseTensors).
+
+    Default mode is 'hybrid' (active-column stage 1 + zfold rest) — the
+    fast MXU execution — with the four stage-boundary active sets
+    extracted into fixed-capacity SparseTensor views for the coord
+    consumers (VSA keypoint SA, ROI grid pooling); BACKBONE_3D.MODE:
+    sparse opts back into the rulebook path end-to-end (exact index
+    reuse, e.g. for inverse-conv decoders)."""
+    mcfg = cfg.model_cfg
+    bb_name = mcfg.BACKBONE_3D.NAME
+    backbone = {"VoxelBackBone8x": VoxelBackBone8x,
+                "VoxelResBackBone8x": VoxelResBackBone8x,
+                "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
+    kw = {}
+    if bb_name in ("VoxelBackBone8x", "VoxelResBackBone8x"):
+        kw["mode"] = mcfg.BACKBONE_3D.get("MODE", "hybrid")
+        kw["dtype"] = mcfg.BACKBONE_3D.get("DTYPE", "float32")
+    bb_out = backbone(input_channels=cfg.num_point_features,
+                      name="backbone_3d", **kw)(st, train)
+    capacity = st.features.shape[0]
+    multi_scale = {
+        name: SP.as_sparse(t, batch_size, capacity)
+        for name, t in bb_out["multi_scale_3d_features"].items()}
+    return bb_out, multi_scale
 
 
 class PVRCNN(nn.Module):
@@ -45,13 +73,10 @@ class PVRCNN(nn.Module):
         nzyx = (int(cfg.grid_size[2]) + 1, int(cfg.grid_size[1]),
                 int(cfg.grid_size[0]))
         st = SP.make_sparse_tensor(feats, coords, mask, nzyx, points.shape[0])
-        backbone = {"VoxelBackBone8x": VoxelBackBone8x,
-                    "VoxelResBackBone8x": VoxelResBackBone8x,
-                    "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[mcfg.BACKBONE_3D.NAME]
-        bb_out = backbone(input_channels=cfg.num_point_features,
-                          name="backbone_3d")(st, train)
+        bb_out, multi_scale = _run_backbone_multi_scale(
+            cfg, st, points.shape[0], train)
 
-        bev = height_compression(bb_out["encoded_spconv_tensor"])
+        bev = height_compression_any(bb_out["encoded_spconv_tensor"])
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
             layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
@@ -73,7 +98,7 @@ class PVRCNN(nn.Module):
             pfe_cfg=mcfg.PFE, point_cloud_range=tuple(cfg.point_cloud_range),
             voxel_size=tuple(cfg.voxel_size), name="pfe")
         vsa_out = vsa(points, points_valid, bev2d,
-                      bev_stride=8, multi_scale_3d=bb_out["multi_scale_3d_features"],
+                      bev_stride=8, multi_scale_3d=multi_scale,
                       train=train)
 
         ph = mcfg.POINT_HEAD
@@ -168,13 +193,9 @@ class PVRCNNPlusPlus(nn.Module):
         nzyx = (int(cfg.grid_size[2]) + 1, int(cfg.grid_size[1]),
                 int(cfg.grid_size[0]))
         st = SP.make_sparse_tensor(feats, coords, mask, nzyx, points.shape[0])
-        backbone = {"VoxelBackBone8x": VoxelBackBone8x,
-                    "VoxelResBackBone8x": VoxelResBackBone8x,
-                    "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[
-                        mcfg.BACKBONE_3D.NAME]
-        bb_out = backbone(input_channels=cfg.num_point_features,
-                          name="backbone_3d")(st, train)
-        bev = height_compression(bb_out["encoded_spconv_tensor"])
+        bb_out, multi_scale = _run_backbone_multi_scale(
+            cfg, st, points.shape[0], train)
+        bev = height_compression_any(bb_out["encoded_spconv_tensor"])
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
             layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
@@ -212,26 +233,36 @@ class PVRCNNPlusPlus(nn.Module):
                         "roi_labels": props["roi_labels"],
                         "roi_mask": props["roi_mask"]})
 
-        # --- proposal-centric keypoint restriction ---------------------------
-        radius = float(mcfg.PFE.get("ROI_NEIGHBOR_RADIUS", 2.4))
+        roi_mask = targets["roi_sample_mask"] if train else props["roi_mask"]
+        spc = mcfg.PFE.get("SAMPLE_METHOD", "FPS") == "SPC"
+        if spc:
+            # sectorized proposal-centric sampling runs inside the VSA
+            # (sample_points_with_roi + sector_fps, voxel_set_abstraction.py
+            # :78-122,206-224); no pre-restriction needed
+            kp_valid = points_valid
+        else:
+            # FPS mode keeps the dilated-roi-box keypoint restriction
+            radius = float(mcfg.PFE.get("ROI_NEIGHBOR_RADIUS", 2.4))
 
-        def roi_neighbourhood(pts, v, frois):
-            big = frois.at[:, 3:6].add(2 * radius)
-            near = points_in_boxes(pts[:, :3], big[:, :7]).any(axis=0)
-            return v & near
+            def roi_neighbourhood(pts, v, frois):
+                big = frois.at[:, 3:6].add(2 * radius)
+                near = points_in_boxes(pts[:, :3], big[:, :7]).any(axis=0)
+                return v & near
 
-        kp_valid = jax.vmap(roi_neighbourhood)(points, points_valid,
-                                               rois[..., :7])
-        # fall back to all points when no roi survives
-        kp_valid = jnp.where(kp_valid.any(axis=1, keepdims=True), kp_valid,
-                             points_valid)
+            kp_valid = jax.vmap(roi_neighbourhood)(points, points_valid,
+                                                   rois[..., :7])
+            # fall back to all points when no roi survives
+            kp_valid = jnp.where(kp_valid.any(axis=1, keepdims=True),
+                                 kp_valid, points_valid)
 
         vsa = VoxelSetAbstraction(
             pfe_cfg=mcfg.PFE, point_cloud_range=tuple(cfg.point_cloud_range),
             voxel_size=tuple(cfg.voxel_size), name="pfe")
         vsa_out = vsa(points, kp_valid, bev2d, bev_stride=8,
-                      multi_scale_3d=bb_out["multi_scale_3d_features"],
-                      train=train)
+                      multi_scale_3d=multi_scale,
+                      train=train,
+                      rois=rois[..., :7] if spc else None,
+                      roi_mask=roi_mask if spc else None)
 
         ph = mcfg.POINT_HEAD
         src = vsa_out["point_features_before_fusion"] \

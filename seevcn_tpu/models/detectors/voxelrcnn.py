@@ -22,7 +22,7 @@ from ..modules.backbone3d import (VoxelBackBone8x,
                                   VoxelBackBone8xFocal,
                                   VoxelResBackBone8x)
 from ..modules.dense_heads import AnchorHeadSingle
-from ..modules.map_to_bev import height_compression
+from ..modules.map_to_bev import height_compression_any
 from ..modules.pfe import SALayer
 from ..modules.pvrcnn_head import (decode_rcnn_boxes, pvrcnn_rcnn_loss)
 from ..modules.pvrcnn_head import roi_grid_points
@@ -115,13 +115,10 @@ class VoxelRCNN(nn.Module):
         nzyx = (int(cfg.grid_size[2]) + 1, int(cfg.grid_size[1]),
                 int(cfg.grid_size[0]))
         st = SP.make_sparse_tensor(feats, coords, mask, nzyx, points.shape[0])
-        backbone = {"VoxelBackBone8x": VoxelBackBone8x,
-                    "VoxelResBackBone8x": VoxelResBackBone8x,
-                    "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[
-                        mcfg.BACKBONE_3D.NAME]
-        bb_out = backbone(input_channels=cfg.num_point_features,
-                          name="backbone_3d")(st, train)
-        bev = height_compression(bb_out["encoded_spconv_tensor"])
+        from .pvrcnn import _run_backbone_multi_scale
+        bb_out, multi_scale = _run_backbone_multi_scale(
+            cfg, st, points.shape[0], train)
+        bev = height_compression_any(bb_out["encoded_spconv_tensor"])
         b2 = mcfg.BACKBONE_2D
         bev2d = BaseBEVBackbone(
             layer_nums=tuple(b2.LAYER_NUMS), layer_strides=tuple(b2.LAYER_STRIDES),
@@ -158,7 +155,7 @@ class VoxelRCNN(nn.Module):
                         "roi_labels": props["roi_labels"],
                         "roi_mask": props["roi_mask"]})
 
-        ms = bb_out["multi_scale_3d_features"]
+        ms = multi_scale
         if train:
             ms = {k: v._replace(features=jax.lax.stop_gradient(v.features))
                   for k, v in ms.items()}

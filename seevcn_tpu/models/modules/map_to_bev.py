@@ -42,3 +42,14 @@ def pillar_scatter(features: jax.Array, coords: jax.Array, mask: jax.Array,
     xi = jnp.where(mask, coords[:, 3], 0)
     feats = jnp.where(mask[:, None], features, 0.0)
     return canvas.at[bi, yi, xi].add(feats)
+
+
+def height_compression_any(t) -> jax.Array:
+    """Layout-polymorphic HeightCompression: accepts the SparseTensor
+    rulebook form or any dense execution layout (ZFold/Dense), always
+    producing the reference's (c * D + d) channel order."""
+    if isinstance(t, SP.ZFoldTensor):
+        return SP.zfold_height_compression(t)
+    if isinstance(t, SP.DenseTensor):
+        return SP.dense_height_compression(t)
+    return height_compression(t)

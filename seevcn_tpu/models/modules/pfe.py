@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from ...ops import sparse as SP
 from ...ops.pointnet2 import ball_query, group_features, masked_max_pool
-from ...ops.sampling import farthest_point_sample
+from ...ops.sampling import (farthest_point_sample,
+                             sample_points_with_roi_mask, sector_fps_sample)
 from .roi_heads import bilinear_sample
 
 
@@ -197,21 +198,45 @@ class VoxelSetAbstraction(nn.Module):
 
     @nn.compact
     def __call__(self, points, points_valid, bev, bev_stride,
-                 multi_scale_3d: dict, train: bool = False):
+                 multi_scale_3d: dict, train: bool = False,
+                 rois=None, roi_mask=None):
         """points (B, P, 3+), bev (B, H, W, C), multi_scale_3d: name ->
         SparseTensor. Returns dict with keypoints (B, K, 3),
-        point_features (B, K, F), point_features_before_fusion."""
+        point_features (B, K, F), point_features_before_fusion.
+
+        SAMPLE_METHOD FPS (default) FPS-samples raw points; SPC (PV-RCNN++,
+        voxel_set_abstraction.py:206-224 sectorized_proposal_centric_sampling)
+        restricts to the ROI neighbourhood (half-diagonal + radius) then
+        runs azimuthal-sector quota FPS — requires ``rois`` (B, M, 7+) and
+        ``roi_mask`` (B, M)."""
         cfg = self.pfe_cfg
         k = int(cfg["NUM_KEYPOINTS"])
         pcr = jnp.asarray(self.point_cloud_range)
         vs = jnp.asarray(self.voxel_size)
 
-        # --- keypoints: per-frame FPS over raw points ----------------------
-        def sample_one(pts, valid):
-            idx = farthest_point_sample(pts[:, :3], k, valid)
-            return pts[idx, :3]
+        # --- keypoints: per-frame (sector-)FPS over raw points -------------
+        if cfg.get("SAMPLE_METHOD", "FPS") == "SPC" and rois is not None:
+            spc = cfg["SPC_SAMPLING"]
+            radius = float(spc["SAMPLE_RADIUS_WITH_ROI"])
+            num_sectors = int(spc["NUM_SECTORS"])
 
-        keypoints = jax.vmap(sample_one)(points, points_valid)  # (B, K, 3)
+            def sample_one(pts, valid, r, rm):
+                near = sample_points_with_roi_mask(pts[:, :3], r, rm, radius,
+                                                   valid)
+                # reference falls back to points[:1] when nothing is near a
+                # roi; falling back to all valid points keeps K useful picks
+                near = jnp.where(near.any(), near, valid)
+                idx, _ = sector_fps_sample(pts[:, :3], near, k, num_sectors)
+                return pts[idx, :3]
+
+            keypoints = jax.vmap(sample_one)(points, points_valid,
+                                             rois, roi_mask)
+        else:
+            def sample_one(pts, valid):
+                idx = farthest_point_sample(pts[:, :3], k, valid)
+                return pts[idx, :3]
+
+            keypoints = jax.vmap(sample_one)(points, points_valid)  # (B, K, 3)
 
         feats = []
         sources = list(cfg["FEATURES_SOURCE"])

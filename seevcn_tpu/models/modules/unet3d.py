@@ -74,15 +74,41 @@ class URBlock(nn.Module):
 
 class UNetV2(nn.Module):
     """Encoder (VoxelBackBone8x layout) + UR decoder; outputs per-voxel
-    features at input resolution plus the stride-8 encoded tensor."""
+    features at input resolution plus the stride-8 encoded tensor.
+
+    mode='zfold'/'hybrid'/'dense' runs the ENCODER on the fast dense MXU
+    lowerings (see ops/sparse) and extracts fixed-capacity SparseTensor
+    views at the four stage boundaries; the decoder's inverse convs need
+    exact index reuse, so they always run on the rulebook path over those
+    extracted active sets (VERDICT r2 #3)."""
     input_channels: int = 4
     return_encoded: bool = True
+    mode: str = "sparse"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, st: SP.SparseTensor, train: bool = False):
         cap = st.features.shape[0]
-        x = SpConvLayer(16, subm=True, padding=1, name="conv_input")(st, train)
+        bsz = st.batch_size
+        x = st
+        if self.mode == "hybrid":
+            ct = SP.to_col_tensor(st)
+            x = ct._replace(features=ct.features.astype(jnp.dtype(self.dtype)))
+        elif self.mode == "zfold":
+            x = SP.to_zfold_tensor(st, dtype=jnp.dtype(self.dtype))
+        elif self.mode == "dense":
+            dt = SP.to_dense_tensor(st)
+            x = dt._replace(features=dt.features.astype(jnp.dtype(self.dtype)))
+        fast = self.mode != "sparse"
+
+        def extract(t):
+            s = SP.as_sparse(t, bsz, cap)
+            return s._replace(features=s.features.astype(jnp.float32))
+
+        x = SpConvLayer(16, subm=True, padding=1, name="conv_input")(x, train)
         x_conv1 = SpConvLayer(16, subm=True, padding=1, name="conv1_0")(x, train)
+        if isinstance(x_conv1, SP.ColTensor):
+            x_conv1 = SP.col_to_zfold(x_conv1)
         x = SpConvLayer(32, subm=False, stride=2, padding=1, out_capacity=cap,
                         name="conv2_down")(x_conv1, train)
         x = SpConvLayer(32, subm=True, padding=1, name="conv2_0")(x, train)
@@ -103,6 +129,12 @@ class UNetV2(nn.Module):
                               name="conv_out")(x_conv4, train)
             out["encoded_spconv_tensor"] = enc
             out["encoded_spconv_tensor_stride"] = 8
+        if fast:
+            # bridge the fast encoder to the rulebook decoder
+            x_conv1 = extract(x_conv1)
+            x_conv2 = extract(x_conv2)
+            x_conv3 = extract(x_conv3)
+            x_conv4 = extract(x_conv4)
 
         # decoder: 4 -> 3 -> 2 -> 1
         x_up4 = URBlock(64, 64, inv_stride=2, inv_padding=(0, 1, 1),

@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -126,6 +127,82 @@ def resample_points(points: jax.Array, valid: jax.Array, n: int, rng: jax.Array 
         valid = valid[perm]
     out, _ = tile_to_n(points, valid, n)
     return out
+
+
+def sample_points_with_roi_mask(points: jax.Array, rois: jax.Array,
+                                roi_mask: jax.Array,
+                                sample_radius_with_roi: float,
+                                valid: jax.Array | None = None) -> jax.Array:
+    """(N,) bool: points within (nearest ROI's half-diagonal + radius) of
+    that ROI's center — the reference's proposal-centric point filter
+    (voxel_set_abstraction.py:sample_points_with_roi:40-76; the reference
+    chunks over num_max_points_of_part only to bound GPU memory, the math
+    is identical).
+
+    points (N, 3), rois (M, 7+) [cx cy cz dx dy dz heading ...],
+    roi_mask (M,) bool.
+    """
+    d2 = pairwise_sqdist(points[:, :3], rois[:, :3])          # (N, M)
+    d2 = jnp.where(roi_mask[None, :], d2, jnp.inf)
+    min_idx = jnp.argmin(d2, axis=1)
+    min_dis = jnp.sqrt(jnp.take_along_axis(d2, min_idx[:, None], 1)[:, 0])
+    roi_max_dim = jnp.linalg.norm(rois[min_idx, 3:6] / 2, axis=-1)
+    mask = min_dis < roi_max_dim + sample_radius_with_roi
+    mask = mask & roi_mask.any()
+    if valid is not None:
+        mask = mask & valid
+    return mask
+
+
+@partial(jax.jit, static_argnames=("num_keypoints", "num_sectors"))
+def sector_fps_sample(points: jax.Array, valid: jax.Array,
+                      num_keypoints: int, num_sectors: int) -> tuple:
+    """Azimuthal-sector quota FPS (voxel_set_abstraction.py:sector_fps:
+    78-122), fixed-shape: bucket points into ``num_sectors`` sectors by
+    atan2 angle, FPS independently inside each sector, keep
+    quota_s = min(count_s, ceil(count_s / total * num_keypoints)) picks per
+    sector, and merge by interleaving sectors proportionally (pick j of
+    sector s scores (j+0.5)/quota_s; global top-``num_keypoints`` smallest).
+
+    The reference runs a ragged stack-mode FPS and concatenates (yielding
+    sum(quota_s) >= num_keypoints points, later truncated); the
+    proportional interleave here selects the same per-sector prefixes,
+    dropping only the highest-rank stragglers to land exactly on
+    ``num_keypoints``. Returns ((num_keypoints,) int32 indices,
+    (num_keypoints,) bool pick-validity).
+    """
+    n = points.shape[0]
+    s = int(num_sectors)
+    k = int(num_keypoints)
+    sector_size = 2.0 * np.pi / s
+    ang = jnp.arctan2(points[:, 1], points[:, 0]) + np.pi
+    sec = jnp.clip(jnp.floor(ang / sector_size).astype(jnp.int32), 0, s - 1)
+    sec_w = jnp.where(valid, sec, s)
+    cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), sec_w,
+                              num_segments=s + 1)[:s]          # (S,)
+    total = jnp.maximum(cnt.sum(), 1)
+    quota = jnp.minimum(cnt, jnp.ceil(cnt / total * k).astype(jnp.int32))
+
+    # per-sector FPS over the full buffer with sector-masked validity;
+    # picks beyond a sector's point count repeat (never rank < quota)
+    per_k = min(k, n)
+    idx = jax.vmap(lambda si: farthest_point_sample(
+        points[:, :3], per_k, valid & (sec == si)))(jnp.arange(s))  # (S, per_k)
+    j = jnp.arange(per_k)[None, :]
+    score = jnp.where(j < quota[:, None],
+                      (j + 0.5) / jnp.maximum(quota[:, None], 1), jnp.inf)
+    picked = sec[idx] == jnp.arange(s)[:, None]  # FPS fell back <=> sector empty
+    score = jnp.where(picked, score, jnp.inf)
+    score, idx = score.reshape(-1), idx.reshape(-1)
+    if score.shape[0] < k:                    # tiny-N guard
+        pad = k - score.shape[0]
+        score = jnp.pad(score, (0, pad), constant_values=jnp.inf)
+        idx = jnp.pad(idx, (0, pad))
+    neg, flat = jax.lax.top_k(-score, k)
+    out = idx[flat]
+    ok = neg > -jnp.inf
+    out = jnp.where(ok, out, out[0])
+    return out.astype(jnp.int32), ok
 
 
 def three_nn_interpolate(query: jax.Array, support: jax.Array, features: jax.Array,

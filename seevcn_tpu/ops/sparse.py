@@ -512,52 +512,42 @@ jax.tree_util.register_pytree_node(
 
 
 def to_col_tensor(st: SparseTensor, capacity: int | None = None) -> ColTensor:
-    """SparseTensor (z-major sorted voxel rows) -> compact column buffer.
+    """SparseTensor -> compact column buffer, SORT-FREE.
 
+    Column ranks come from a cumsum over the dense BEV occupancy plane in
+    raster order (b, y, x) — a 563k-element scan instead of a 90k argsort
+    (XLA's TPU sort is bitonic and cost ~16 ms here; the scan is ~1 ms).
     capacity defaults to the voxel capacity (a column needs >=1 voxel, so
     n_cols <= n_voxels and nothing is ever truncated at that bound).
     """
     nz, ny, nx = st.spatial_shape
     n, c = st.features.shape
     m = int(capacity or n)
-    colkey = (st.coords[:, 0] * ny + st.coords[:, 2]) * nx + st.coords[:, 3]
-    big = jnp.int32(_BIG)
-    assert st.batch_size * ny * nx * nz < _BIG, "column sort key overflows"
-    # sort rows by (column, z) so each column's voxels are contiguous;
-    # invalid rows last
-    zs = st.coords[:, 1]
-    order = jnp.argsort(jnp.where(st.mask,
-                                  (colkey * nz + zs).astype(jnp.int32), big))
-    ck = jnp.where(st.mask[order], colkey[order].astype(jnp.int32), big)
-    head = jnp.concatenate([jnp.ones((1,), bool), ck[1:] != ck[:-1]])
-    head = head & (ck < big)
-    rank = jnp.cumsum(head) - 1
-    svalid = ck < big
-    rank = jnp.where(svalid & (rank < m), rank, m)
+    assert st.batch_size * ny * nx < _BIG
+    flat2d = (st.coords[:, 0] * ny + st.coords[:, 2]) * nx + st.coords[:, 3]
+    flat2d = jnp.where(st.mask, flat2d, 0)
+    occ2d = jnp.zeros((st.batch_size * ny * nx,), bool).at[flat2d].max(st.mask)
+    ranks2d = jnp.cumsum(occ2d.astype(jnp.int32)) - 1    # rank in raster order
+    colmap = jnp.where(occ2d, jnp.minimum(ranks2d, m - 1), -1).reshape(
+        st.batch_size, ny, nx)
 
-    feats_s = st.features[order]
-    coords_s = st.coords[order]
-    z_s = jnp.where(rank < m, coords_s[:, 1], 0)
+    rank = jnp.where(st.mask, ranks2d[flat2d], m)        # (N,) per voxel row
+    overflow = rank >= m
+    rank = jnp.where(overflow, m, rank)
+    z_s = jnp.where(st.mask, st.coords[:, 1], 0)
     flat = jnp.where(rank < m, rank * nz + z_s, m * nz)
-    # flat is strictly increasing over valid rows ((col, z) sorted, unique)
-    col_feats = jax.ops.segment_sum(
-        jnp.where((rank < m)[:, None], feats_s, 0.0), flat,
-        num_segments=m * nz + 1, indices_are_sorted=True)[:m * nz]
-    zocc = jax.ops.segment_max(
-        (rank < m), flat, num_segments=m * nz + 1,
-        indices_are_sorted=True)[:m * nz].reshape(m, nz)
-    byx = jnp.stack([coords_s[:, 0], coords_s[:, 2], coords_s[:, 3]], axis=1)
-    ccoords = jax.ops.segment_max(
-        jnp.where((rank < m)[:, None], byx, -1), rank,
-        num_segments=m + 1, indices_are_sorted=True)[:m]
+    # (rank, z) pairs are unique across valid rows -> dup-free scatters
+    col_feats = jnp.zeros((m * nz + 1, c), st.features.dtype).at[flat].add(
+        jnp.where((rank < m)[:, None], st.features, 0.0),
+        mode="drop")[:m * nz]
+    zocc = jnp.zeros((m * nz + 1,), bool).at[flat].max(
+        rank < m)[:m * nz].reshape(m, nz)
+    byx = jnp.stack([st.coords[:, 0], st.coords[:, 2], st.coords[:, 3]],
+                    axis=1)
+    ccoords = jnp.full((m + 1, 3), -1, jnp.int32).at[rank].max(
+        jnp.where((rank < m)[:, None], byx, -1))[:m]
     cmask = ccoords[:, 0] >= 0
     ccoords = jnp.maximum(ccoords, 0).astype(jnp.int32)
-    colmap = jnp.full((st.batch_size, ny, nx), -1, jnp.int32)
-    colmap = colmap.at[
-        jnp.where(cmask, ccoords[:, 0], 0),
-        jnp.where(cmask, ccoords[:, 1], 0),
-        jnp.where(cmask, ccoords[:, 2], 0)].max(
-        jnp.where(cmask, jnp.arange(m, dtype=jnp.int32), -1))
     return ColTensor(col_feats.reshape(m, nz * c), zocc, ccoords, cmask,
                      colmap, nz, c)
 
@@ -657,6 +647,79 @@ def col_to_zfold(ct: ColTensor) -> ZFoldTensor:
     occ = jnp.zeros((b, ny, nx, ct.z), bool)
     occ = occ.at[bb, yy, xx].max(ct.zocc & ct.mask[:, None])
     return ZFoldTensor(feats, occ, ct.z, ct.channels)
+
+
+def zfold_to_sparse(zt: ZFoldTensor, batch_size: int,
+                    capacity: int) -> SparseTensor:
+    """Extract the active voxels of a zfold tensor into a fixed-capacity,
+    key-sorted SparseTensor — the bridge that lets multi-scale consumers
+    (PV-RCNN VSA, ROI grid pooling, UNet decoders) read voxel coords off
+    the FAST dense-execution backbone instead of forcing the whole
+    backbone onto the rulebook path (VERDICT r2 #3).
+
+    Rows come out sorted by the z-major linear key ((b*nz+z)*ny+y)*nx+x
+    (the SparseTensor invariant) because occupancy is scanned in that
+    transpose order.
+    """
+    b, yy, xx, zc = zt.features.shape
+    z, c = zt.z, zt.channels
+    # (B, Z, Y, X) flat order == ascending linear key order
+    occ_t = jnp.transpose(zt.occ, (0, 3, 1, 2)).reshape(-1)
+    (flat_idx,) = jnp.nonzero(occ_t, size=capacity, fill_value=-1)
+    valid = flat_idx >= 0
+    fi = jnp.maximum(flat_idx, 0)
+    xi = fi % xx
+    rem = fi // xx
+    yi = rem % yy
+    rem = rem // yy
+    zi = rem % z
+    bi = rem // z
+    coords = jnp.stack([bi, zi, yi, xi], axis=1).astype(jnp.int32)
+    f5 = zt.features.reshape(b, yy, xx, z, c)
+    feats = f5[bi, yi, xi, zi]
+    feats = jnp.where(valid[:, None], feats, 0.0)
+    return SparseTensor(feats, jnp.where(valid[:, None], coords, 0), valid,
+                        (z, yy, xx), batch_size)
+
+
+def dense_to_sparse(dt: DenseTensor, capacity: int) -> SparseTensor:
+    """DenseTensor -> fixed-capacity key-sorted SparseTensor (see
+    zfold_to_sparse)."""
+    b, nz, ny, nx, c = dt.features.shape
+    occ_flat = dt.occ.reshape(-1)          # (B, Z, Y, X) already key order
+    (flat_idx,) = jnp.nonzero(occ_flat, size=capacity, fill_value=-1)
+    valid = flat_idx >= 0
+    fi = jnp.maximum(flat_idx, 0)
+    xi = fi % nx
+    rem = fi // nx
+    yi = rem % ny
+    rem = rem // ny
+    zi = rem % nz
+    bi = rem // nz
+    coords = jnp.stack([bi, zi, yi, xi], axis=1).astype(jnp.int32)
+    feats = jnp.where(valid[:, None], dt.features[bi, zi, yi, xi], 0.0)
+    return SparseTensor(feats, jnp.where(valid[:, None], coords, 0), valid,
+                        (nz, ny, nx), b)
+
+
+def col_to_sparse(ct: ColTensor, batch_size: int,
+                  capacity: int) -> SparseTensor:
+    """ColTensor -> SparseTensor via the zfold plane (column buffers are
+    only used for stage-1 subm convs, whose extraction happens rarely)."""
+    return zfold_to_sparse(col_to_zfold(ct), batch_size, capacity)
+
+
+def as_sparse(t, batch_size: int, capacity: int) -> SparseTensor:
+    """Any execution-layout tensor -> key-sorted SparseTensor view."""
+    if isinstance(t, SparseTensor):
+        return t
+    if isinstance(t, ZFoldTensor):
+        return zfold_to_sparse(t, batch_size, capacity)
+    if isinstance(t, DenseTensor):
+        return dense_to_sparse(t, capacity)
+    if isinstance(t, ColTensor):
+        return col_to_sparse(t, batch_size, capacity)
+    raise TypeError(type(t))
 
 
 def zfold_height_compression(zt: ZFoldTensor) -> jax.Array:

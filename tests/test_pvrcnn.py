@@ -290,3 +290,38 @@ def test_pvrcnn_jitted_train_step():
     step = make_train_step(model, jit=True, donate=False)
     state, metrics = step(state, pts, valid, gt, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pvrcnn_plusplus_spc_sampling():
+    """SAMPLE_METHOD: SPC (pv_rcnn_plusplus.yaml:77-80) routes keypoint
+    sampling through sample_points_with_roi + sector_fps
+    (voxel_set_abstraction.py:206-224): eval forward works and the train
+    path differentiates."""
+    cfg = _pvrcnn_cfg()
+    cfg.MODEL.NAME = "PVRCNNPlusPlus"
+    cfg.MODEL.PFE["SAMPLE_METHOD"] = "SPC"
+    cfg.MODEL.PFE["SPC_SAMPLING"] = {"NUM_SECTORS": 6,
+                                     "SAMPLE_RADIUS_WITH_ROI": 1.6}
+    model, dcfg = build_detector(cfg)
+    rng = np.random.RandomState(3)
+    pts, valid, gt = _fake_batch(rng, b=2, p=400)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, valid,
+                           train=False)
+    out = model.apply(variables, pts, valid, train=False)
+    assert out["rois"].shape == (2, 16, 7)
+    assert np.isfinite(np.asarray(out["rois"])).all()
+    kp = np.asarray(out["keypoints"])
+    assert np.isfinite(kp).all()
+
+    def loss_fn(params):
+        o, _ = model.apply({"params": params,
+                            "batch_stats": variables["batch_stats"]},
+                           pts, valid, gt_boxes=gt, train=True,
+                           rng=jax.random.PRNGKey(1),
+                           rngs={"dropout": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+        return model.loss(o, gt)
+
+    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss))

@@ -136,3 +136,90 @@ def test_three_nn_interpolate():
     out = np.asarray(S.three_nn_interpolate(q, support, feats))
     # nearest is exact match -> weight ~1 on feature 1.0
     np.testing.assert_allclose(out[0, 0], 1.0, atol=1e-2)
+
+
+def test_sample_points_with_roi_mask():
+    """Reference semantics (voxel_set_abstraction.py:40-76): keep points
+    whose distance to the NEAREST roi center < that roi's half-diagonal +
+    radius."""
+    pts = np.array([[0, 0, 0], [3, 0, 0], [10, 10, 0], [11, 10, 0]],
+                   np.float32)
+    rois = np.zeros((2, 7), np.float32)
+    rois[0, :3] = [0, 0, 0]
+    rois[0, 3:6] = [4, 2, 2]          # half-diag ~2.45
+    rois[1, :3] = [10, 10, 0]
+    rois[1, 3:6] = [1, 1, 1]          # half-diag ~0.87
+    m = np.asarray(S.sample_points_with_roi_mask(
+        jnp.asarray(pts), jnp.asarray(rois), jnp.ones(2, bool), 1.0))
+    # pt0: d=0 < 3.45 yes; pt1: d=3 < 3.45 yes; pt2: d=0 < 1.87 yes;
+    # pt3: d=1 < 1.87 yes
+    assert m.tolist() == [True, True, True, True]
+    m = np.asarray(S.sample_points_with_roi_mask(
+        jnp.asarray(pts), jnp.asarray(rois), jnp.ones(2, bool), 0.1))
+    # pt1: 3 > 2.55 no; pt3: 1 > 0.87+0.1 no
+    assert m.tolist() == [True, False, True, False]
+    # masked-out roi 1 -> its points fall to roi 0's ball (far away)
+    m = np.asarray(S.sample_points_with_roi_mask(
+        jnp.asarray(pts), jnp.asarray(rois), jnp.asarray([True, False]), 1.0))
+    assert m.tolist() == [True, True, False, False]
+    # no roi at all -> nothing selected
+    m = np.asarray(S.sample_points_with_roi_mask(
+        jnp.asarray(pts), jnp.asarray(rois), jnp.zeros(2, bool), 1.0))
+    assert not m.any()
+
+
+def test_sector_fps_proportional_quota():
+    """Sector quotas follow the reference's ceil(cnt/total*K) rule
+    (sector_fps, voxel_set_abstraction.py:78-122): a sector holding 3/4 of
+    the points gets ~3/4 of the picks, and every non-empty sector gets at
+    least one pick."""
+    rng = np.random.RandomState(0)
+    # sector of angle ~0..pi/2 gets 150 points, opposite sector gets 50
+    a1 = rng.uniform(0.1, np.pi / 2 - 0.1, 150)
+    a2 = rng.uniform(np.pi + 0.1, 1.5 * np.pi - 0.1, 50)
+    r1 = rng.uniform(5, 20, 150)
+    r2 = rng.uniform(5, 20, 50)
+    pts = np.zeros((224, 3), np.float32)
+    pts[:150, 0] = np.cos(a1) * r1
+    pts[:150, 1] = np.sin(a1) * r1
+    pts[150:200, 0] = np.cos(a2) * r2
+    pts[150:200, 1] = np.sin(a2) * r2
+    valid = np.zeros(224, bool)
+    valid[:200] = True
+    idx, ok = S.sector_fps_sample(jnp.asarray(pts), jnp.asarray(valid),
+                                  num_keypoints=40, num_sectors=4)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    assert ok.all()
+    assert valid[idx].all()
+    n_big = (idx < 150).sum()
+    # proportional: 150/200*40 = 30 from the big sector, 10 from the small
+    assert 28 <= n_big <= 32
+    # picks are unique (FPS prefix per sector)
+    assert len(set(idx.tolist())) == 40
+
+
+def test_sector_fps_spread_beats_random():
+    """Sector-FPS picks must cover space like FPS does (min pairwise
+    distance much larger than random picks)."""
+    rng = np.random.RandomState(1)
+    pts = rng.uniform(-30, 30, (400, 3)).astype(np.float32)
+    idx, ok = S.sector_fps_sample(jnp.asarray(pts),
+                                  jnp.ones(400, bool), 32, 6)
+    sel = pts[np.asarray(idx)]
+    d = ((sel[:, None] - sel[None]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    min_fps = np.sqrt(d.min())
+    rand = pts[rng.choice(400, 32, replace=False)]
+    d = ((rand[:, None] - rand[None]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    assert min_fps > np.sqrt(d.min())
+
+
+def test_sector_fps_fewer_points_than_k():
+    pts = np.random.RandomState(2).randn(10, 3).astype(np.float32)
+    valid = np.ones(10, bool)
+    valid[7:] = False
+    idx, ok = S.sector_fps_sample(jnp.asarray(pts), jnp.asarray(valid), 16, 4)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    assert ok.sum() == 7                      # only 7 real picks
+    assert valid[idx].all()                   # padding repeats a valid pick

@@ -603,3 +603,44 @@ def test_backbone_hybrid_mode_matches_sparse():
     total = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
     assert np.isfinite(total) and total > 0
+
+
+def test_multi_scale_extraction_matches_sparse():
+    """as_sparse stage-boundary extraction (VERDICT r2 #3 bridge): the
+    hybrid-mode backbone's x_conv1..4, converted back to key-sorted
+    SparseTensors, carry EXACTLY the rulebook path's active sets and
+    features — so PV-RCNN/VoxelRCNN/Part-A2 consumers see identical
+    inputs off the fast execution."""
+    from seevcn_tpu.models.modules.backbone3d import VoxelBackBone8x
+
+    rng = np.random.RandomState(21)
+    st, dense, occ = _random_sparse(rng, dims=(25, 16, 24), cin=4)
+    cap = st.features.shape[0]
+    sparse_bb = VoxelBackBone8x(input_channels=4, mode="sparse",
+                                capacities=[4096] * 4)
+    hybrid_bb = VoxelBackBone8x(input_channels=4, mode="hybrid")
+    variables = sparse_bb.init({"params": jax.random.PRNGKey(0)}, st, False)
+    ms_s = sparse_bb.apply(variables, st, False)["multi_scale_3d_features"]
+    ms_h = hybrid_bb.apply(variables, st, False)["multi_scale_3d_features"]
+
+    for name in ("x_conv1", "x_conv2", "x_conv3", "x_conv4"):
+        ref = ms_s[name]
+        got = SP.as_sparse(ms_h[name], st.batch_size, 4096)
+        km_ref = np.asarray(SP.linear_key(ref.coords, ref.spatial_shape,
+                                          ref.mask))
+        km_got = np.asarray(SP.linear_key(got.coords, got.spatial_shape,
+                                          got.mask))
+        ref_keys = np.sort(km_ref[np.asarray(ref.mask)])
+        got_keys = np.sort(km_got[np.asarray(got.mask)])
+        np.testing.assert_array_equal(ref_keys, got_keys), name
+        # features match per key
+        fr = {int(k): np.asarray(ref.features)[i]
+              for i, k in enumerate(km_ref) if np.asarray(ref.mask)[i]}
+        for i, k in enumerate(km_got):
+            if not np.asarray(got.mask)[i]:
+                continue
+            np.testing.assert_allclose(np.asarray(got.features)[i],
+                                       fr[int(k)], rtol=1e-3, atol=1e-4)
+        # rows come out key-sorted (SparseTensor invariant)
+        valid_keys = km_got[np.asarray(got.mask)]
+        assert (np.diff(valid_keys) > 0).all()
