@@ -1,0 +1,90 @@
+"""Fused on-device SEE DET path (see/device_pipeline.py): membership ->
+isolation -> replacement, against straightforward numpy references."""
+import numpy as np
+import jax.numpy as jnp
+
+from seevcn_tpu.see import device_pipeline as DP
+
+
+def _proj_identity():
+    # u = fx * x/z + cx with camera looking down +z; here use a lidar-like
+    # frame where depth axis = x: proj maps (x, y, z) -> (y*f/x + cu, ...)
+    # For test simplicity use a camera matrix with depth = z.
+    return np.array([[100.0, 0, 0, 0],
+                     [0, 100.0, 0, 0],
+                     [0, 0, 1.0, 0]], np.float32)
+
+
+def test_project_points():
+    proj = _proj_identity()
+    pts = np.array([[1.0, 2.0, 10.0], [0.5, -0.5, 5.0]], np.float32)
+    u, v, d = DP.project_points(jnp.asarray(pts), jnp.asarray(proj))
+    np.testing.assert_allclose(np.asarray(u), [10.0, 10.0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v), [20.0, -10.0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d), [10.0, 5.0], atol=1e-6)
+
+
+def test_mask_membership_box_and_patch():
+    proj = _proj_identity()
+    # two points project to u,v = (10, 10) and (50, 50) at depth 10
+    pts = np.array([[1.0, 1.0, 10.0], [5.0, 5.0, 10.0],
+                    [1.0, 1.0, -10.0]], np.float32)   # third behind camera
+    valid = np.array([True, True, True])
+    boxes = np.array([[0.0, 0.0, 20.0, 20.0],        # covers (10, 10)
+                      [40.0, 40.0, 60.0, 60.0]], np.float32)
+    masks = np.ones((2, 28, 28), np.float32)
+    masks[1] = 0.0                                    # second mask empty
+    scores = np.array([0.9, 0.9], np.float32)
+    m = np.asarray(DP.mask_membership(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(proj),
+        jnp.asarray(boxes), jnp.asarray(masks), jnp.asarray(scores)))
+    assert m.shape == (2, 3)
+    assert m[0].tolist() == [True, False, False]      # in box 0's full mask
+    assert not m[1].any()                             # empty mask patch
+    # score gate
+    m2 = np.asarray(DP.mask_membership(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(proj),
+        jnp.asarray(boxes), jnp.asarray(masks),
+        jnp.asarray(np.array([0.1, 0.9], np.float32)), score_thresh=0.5))
+    assert not m2.any()
+
+
+def test_isolate_and_resample_picks_largest_cluster():
+    rng = np.random.RandomState(0)
+    # instance 0: a 40-pt tight cluster at range 10 + 5 outliers far away
+    cluster = rng.randn(40, 3).astype(np.float32) * 0.05 + [10, 0, 0]
+    outliers = rng.randn(5, 3).astype(np.float32) * 0.05 + [30, 20, 0]
+    pts = np.zeros((128, 3), np.float32)
+    pts[:40] = cluster
+    pts[40:45] = outliers
+    membership = np.zeros((2, 128), bool)
+    membership[0, :45] = True
+    # instance 1: too few points -> invalid
+    membership[1, :3] = True
+    out, ok = DP.isolate_and_resample(jnp.asarray(pts),
+                                      jnp.asarray(membership),
+                                      max_instance_pts=64, out_pts=32)
+    out, ok = np.asarray(out), np.asarray(ok)
+    assert ok.tolist() == [True, False]
+    # all resampled points come from the tight cluster, not the outliers
+    d = np.linalg.norm(out[0] - [10, 0, 0], axis=1)
+    assert (d < 1.0).all()
+
+
+def test_replace_with_completed():
+    pts = np.array([[10.0, 0, 0], [10.05, 0, 0], [50.0, 0, 0]], np.float32)
+    valid = np.ones(3, bool)
+    completed = np.array([[[10.0, 0, 0], [10.02, 0, 0]]], np.float32)
+    inst_valid = np.array([True])
+    new_pts, new_valid = DP.replace_with_completed(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(completed),
+        jnp.asarray(inst_valid), point_dist_thresh=0.1)
+    new_pts, new_valid = np.asarray(new_pts), np.asarray(new_valid)
+    assert new_pts.shape == (5, 3)
+    # originals near the completed surface dropped, far one kept
+    assert new_valid.tolist() == [False, False, True, True, True]
+    # invalid instances contribute nothing
+    _, nv = DP.replace_with_completed(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(completed),
+        jnp.asarray(np.array([False])), point_dist_thresh=0.1)
+    assert np.asarray(nv).tolist() == [True, True, True, False, False]
