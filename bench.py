@@ -81,7 +81,8 @@ def main():
     def see_stage(pts, v, boxes, masks, scores):
         cam_pts = pts @ lidar_to_cam.T
         member = DP.mask_membership(cam_pts, v, proj, boxes, masks, scores,
-                                    score_thresh=0.0, mask_thresh=0.5)
+                                    score_thresh=0.0, mask_thresh=0.5,
+                                    image_size=(384, 1280))
         iso, ok = DP.isolate_and_resample(pts, member,
                                           max_instance_pts=2048,
                                           out_pts=1024)

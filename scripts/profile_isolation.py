@@ -39,7 +39,19 @@ def main():
     f_mem = jax.jit(lambda p, v: DP.mask_membership(
         p, v, proj, boxes, masks, scores, score_thresh=0.0).sum())
     t = gated(f_mem, [(pts + 1e-4 * i, valid) for i in range(4)])
-    print(f"mask_membership (D={D}, P={P}): {t*1e3:.1f} ms", flush=True)
+    print(f"mask_membership bilinear (D={D}, P={P}): {t*1e3:.1f} ms",
+          flush=True)
+
+    f_mem2 = jax.jit(lambda p, v: DP.mask_membership(
+        p, v, proj, boxes, masks, scores, score_thresh=0.0,
+        image_size=(384, 1280)).sum())
+    t = gated(f_mem2, [(pts + 1e-4 * i, valid) for i in range(4)])
+    print(f"mask_membership canvas: {t*1e3:.1f} ms", flush=True)
+
+    f_ras = jax.jit(lambda b: DP.rasterize_masks(
+        b, masks, scores, (384, 1280), 0.0).sum())
+    t = gated(f_ras, [(boxes + 1e-3 * i,) for i in range(4)])
+    print(f"rasterize_masks alone: {t*1e3:.1f} ms", flush=True)
 
     member = DP.mask_membership(pts, valid, proj, boxes, masks, scores,
                                 score_thresh=0.0)

@@ -28,14 +28,12 @@ TN = 1024  # query rows per tile (1-D f32 outputs tile T(1024) on TPU)
 TM = 1024  # support rows per tile
 
 
-def _kernel(a_ref, b_ref, out_ref):
+def _kernel_diff(a_ref, b_ref, out_ref):
     j = pl.program_id(1)
 
     a = a_ref[:]                       # (TN, 4) padded xyz
     b = b_ref[:]                       # (TM, 4)
-    # difference form on the VPU: the Gram-matrix form (a2+b2-2ab) loses
-    # catastrophically to bf16 MXU rounding after cancellation, and a K=4
-    # matmul wastes the MXU anyway
+    # difference form on the VPU — exact, but 9 VPU passes per element
     d = jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
     for c in range(3):
         diff = a[:, c:c + 1] - b[:, c:c + 1].T             # (TN, TM)
@@ -51,22 +49,70 @@ def _kernel(a_ref, b_ref, out_ref):
         out_ref[:] = jnp.minimum(out_ref[:], tile_min)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _kernel_gram(a_ref, b_ref, out_ref):
+    """Gram form on the MXU: d = |a|^2 - 2 a.b + |b|^2.
+
+    The cross term rides the MXU at f32 precision (HIGHEST — TPU
+    multi-pass; bf16 single-pass would be catastrophic after the
+    cancellation). The wrapper centres coordinates on b's mean first so
+    |a|^2+|b|^2 stays small and the f32 cancellation error stays ~1e-4 at
+    lidar ranges — well under the 0.1 m replacement threshold this kernel
+    serves. Measured: the VPU difference form ran 27 ms at the replacement
+    stage's 150k x 33k; the MXU form is the matmul-rate path.
+    """
+    j = pl.program_id(1)
+    a = a_ref[:]                       # (TN, 4), 4th coord zero
+    b = b_ref[:]                       # (TM, 4)
+    ab = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)             # (TN, 1)
+    b2 = jnp.sum(b * b, axis=1)[None, :]                   # (1, TM)
+    d = jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
+    tile_min = jnp.min(d, axis=1)                          # (TN,)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = tile_min
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = jnp.minimum(out_ref[:], tile_min)
+
+
+@partial(jax.jit, static_argnames=("interpret", "form"))
 def min_sqdist(a: jax.Array, b: jax.Array, b_valid: jax.Array | None = None,
-               interpret: bool = False) -> jax.Array:
+               interpret: bool = False, form: str = "diff") -> jax.Array:
     """a (N, 3), b (M, 3) -> (N,) min squared distance to any (valid) b.
 
     Invalid/padding b rows are pushed to +1e18 so they never win the min.
+    form='diff' (default) is the exact VPU difference form; 'gram' runs
+    the cross term on the MXU with b-mean centring — MEASURED SLOWER at
+    the replacement stage's K=4 (51.7 ms vs 27 ms): a K=4 matmul uses
+    ~3% of the 128-deep systolic array, so the MXU loses to 9 VPU passes.
     """
     n, m = a.shape[0], b.shape[0]
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if form == "gram":
+        # centre on the valid b cloud so the Gram cancellation stays
+        # benign (computed BEFORE invalid rows get pushed far away)
+        if b_valid is None:
+            centre = jnp.mean(b, axis=0)
+        else:
+            cnt = jnp.maximum(b_valid.sum(), 1)
+            centre = jnp.where(b_valid[:, None], b, 0.0).sum(axis=0) / cnt
+        centre = jnp.clip(centre, -1e4, 1e4)
+        a = a - centre
+        b = b - centre
     if b_valid is not None:
         # push invalid rows far away instead of masking inside the kernel
         b = jnp.where(b_valid[:, None], b, 1e9)
 
     pad_n = (-n) % TN
     pad_m = (-m) % TM
-    a_p = jnp.pad(a.astype(jnp.float32), ((0, pad_n), (0, 1)))   # xyz -> xyz0
-    b_p = jnp.pad(b.astype(jnp.float32), ((0, pad_m), (0, 1)))
+    a_p = jnp.pad(a, ((0, pad_n), (0, 1)))   # xyz -> xyz0
+    b_p = jnp.pad(b, ((0, pad_m), (0, 1)))
     # padding b rows at the end would yield distance ~0 to padded a rows only;
     # push them away so they never contaminate real queries
     if pad_m:
@@ -74,7 +120,7 @@ def min_sqdist(a: jax.Array, b: jax.Array, b_valid: jax.Array | None = None,
 
     grid = (a_p.shape[0] // TN, b_p.shape[0] // TM)
     out = pl.pallas_call(
-        _kernel,
+        _kernel_gram if form == "gram" else _kernel_diff,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TN, 4), lambda i, j: (i, 0)),

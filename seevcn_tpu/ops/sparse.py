@@ -66,19 +66,51 @@ def _offsets(kernel_size, dtype=jnp.int32):
     return jnp.asarray(np.stack([oz.ravel(), oy.ravel(), ox.ravel()], axis=1), dtype)
 
 
-def _lookup(keys_sorted: jax.Array, queries: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Binary search: (M,) queries into (N,) ascending keys. Returns
-    (row index clipped, found mask). The BIG padding sentinel never counts
-    as found — otherwise invalid queries "hit" the first padded row and
-    autodiff leaks gradient into it."""
+def _lookup(keys_sorted: jax.Array, queries: jax.Array,
+            key_space: int | None = None) -> tuple[jax.Array, jax.Array]:
+    """(M,) queries into (N,) ascending keys -> (row index, found mask).
+
+    Two lowerings of the same lookup:
+      * ``key_space`` given and affordable — build a dense key->row map
+        with ONE N-row scatter, then each query is a single gather.
+        The searchsorted path was the round-2 bottleneck (log N sequential
+        compare passes per query; 9.7M queries x 19 gathers ~ 1.4 s per
+        conv at capacity); the map path replaces every binary search with
+        one HBM read.
+      * fallback — jnp.searchsorted binary search.
+
+    The BIG padding sentinel never counts as found — otherwise invalid
+    queries "hit" the first padded row and autodiff leaks gradient into
+    it.
+    """
+    big = jnp.int32(_BIG)
+    if key_space is not None and key_space <= _DENSE_MAP_MAX_SPACE:
+        n = keys_sorted.shape[0]
+        kvalid = keys_sorted < big
+        safe = jnp.where(kvalid, keys_sorted, key_space)
+        dmap = jnp.full((key_space + 1,), -1, jnp.int32).at[safe].max(
+            jnp.where(kvalid, jnp.arange(n, dtype=jnp.int32), -1))
+        q = jnp.where(queries == big, key_space,
+                      jnp.clip(queries, 0, key_space))
+        idx = dmap[q]
+        found = (idx >= 0) & (queries != big)
+        return jnp.maximum(idx, 0), found
     idx = jnp.searchsorted(keys_sorted, queries)
     idx_c = jnp.clip(idx, 0, keys_sorted.shape[0] - 1)
-    found = (keys_sorted[idx_c] == queries) & \
-        (queries != jnp.int32(np.iinfo(np.int32).max))
+    found = (keys_sorted[idx_c] == queries) & (queries != big)
     return idx_c, found
 
 
 _BIG = np.iinfo(np.int32).max
+
+# dense key->row maps above this key-space size fall back to searchsorted
+# (the map is int32: 1<<24 keys = 67 MB, transient)
+_DENSE_MAP_MAX_SPACE = 1 << 24
+
+
+def _key_space(spatial_shape, batch_size: int) -> int:
+    nz, ny, nx = spatial_shape
+    return int(batch_size) * int(nz) * int(ny) * int(nx)
 
 
 def _conv_queries(coords, valid, offs, stride, pad, src_shape) -> jax.Array:
@@ -116,11 +148,11 @@ def _invconv_queries(coords, valid, offs, stride, pad, src_shape) -> jax.Array:
                      jnp.int32(_BIG))
 
 
-def _gather_matmul(features, weight, q, keys, out_mask):
-    """gather rows of ``features`` by searchsorted(q in keys), one MXU GEMM.
+def _gather_matmul(features, weight, q, keys, out_mask, key_space=None):
+    """gather rows of ``features`` by looking q up in keys, one MXU GEMM.
     weight (K, Cin, Cout); returns (V, Cout)."""
     k, cin, cout = weight.shape
-    idx, found = _lookup(keys, q.reshape(-1))
+    idx, found = _lookup(keys, q.reshape(-1), key_space)
     g = jnp.where(found[:, None], features[idx], 0.0).reshape(-1, k * cin)
     y = jnp.matmul(g, weight.reshape(k * cin, cout),
                    preferred_element_type=jnp.float32)
@@ -131,10 +163,13 @@ def _float0_like(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-@jax.custom_vjp
-def _conv_core(features, weight, q_fwd, q_bwd, in_keys, out_keys,
-               in_mask, out_mask):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _conv_core(in_space, out_space, features, weight, q_fwd, q_bwd,
+               in_keys, out_keys, in_mask, out_mask):
     """Gather-GEMM with a scatter-free backward.
+
+    in_space/out_space: static linear-key-space sizes for the dense-map
+    lookup (None -> searchsorted).
 
     Autodiff of the gather would emit a (V·K)-row duplicate-index
     scatter-add for d(features), which XLA serializes on TPU (measured:
@@ -144,29 +179,30 @@ def _conv_core(features, weight, q_fwd, q_bwd, in_keys, out_keys,
     where q_bwd[j, k] keys the output position p with input j at tap k.
     dW re-gathers the forward rows: dW = gathered^T dy (one MXU GEMM).
     """
-    return _gather_matmul(features, weight, q_fwd, in_keys, out_mask)
+    return _gather_matmul(features, weight, q_fwd, in_keys, out_mask,
+                          in_space)
 
 
-def _conv_core_fwd(features, weight, q_fwd, q_bwd, in_keys, out_keys,
-                   in_mask, out_mask):
-    y = _gather_matmul(features, weight, q_fwd, in_keys, out_mask)
+def _conv_core_fwd(in_space, out_space, features, weight, q_fwd, q_bwd,
+                   in_keys, out_keys, in_mask, out_mask):
+    y = _gather_matmul(features, weight, q_fwd, in_keys, out_mask, in_space)
     return y, (features, weight, q_fwd, q_bwd, in_keys, out_keys,
                in_mask, out_mask)
 
 
-def _conv_core_bwd(res, dy):
+def _conv_core_bwd(in_space, out_space, res, dy):
     features, weight, q_fwd, q_bwd, in_keys, out_keys, in_mask, out_mask = res
     k, cin, cout = weight.shape
     dy = jnp.where(out_mask[:, None], dy, 0.0)
 
     # dW = gathered^T dy (rematerialized gather; (K*Cin, Vout)x(Vout, Cout))
-    idx, found = _lookup(in_keys, q_fwd.reshape(-1))
+    idx, found = _lookup(in_keys, q_fwd.reshape(-1), in_space)
     g = jnp.where(found[:, None], features[idx], 0.0).reshape(-1, k * cin)
     dw = jnp.matmul(g.T, dy, preferred_element_type=jnp.float32)
     dw = dw.reshape(k, cin, cout)
 
     # dx via the transposed-conv gather (no scatter)
-    idx2, found2 = _lookup(out_keys, q_bwd.reshape(-1))
+    idx2, found2 = _lookup(out_keys, q_bwd.reshape(-1), out_space)
     gdy = jnp.where(found2[:, None], dy[idx2], 0.0).reshape(-1, k * cout)
     wt = jnp.transpose(weight, (0, 2, 1)).reshape(k * cout, cin)
     dx = jnp.matmul(gdy, wt, preferred_element_type=jnp.float32)
@@ -196,7 +232,9 @@ def _gather_gemm(st: SparseTensor, out_coords: jax.Array, out_mask: jax.Array,
         out_keys = linear_key(out_coords, out_spatial_shape, out_mask)
     q_bwd = _invconv_queries(st.coords, st.mask, offs, stride, padding,
                              out_spatial_shape)
-    return _conv_core(st.features, w3, q_fwd, q_bwd, in_keys, out_keys,
+    return _conv_core(_key_space(st.spatial_shape, st.batch_size),
+                      _key_space(out_spatial_shape, st.batch_size),
+                      st.features, w3, q_fwd, q_bwd, in_keys, out_keys,
                       st.mask, out_mask)
 
 
@@ -242,12 +280,25 @@ def _sparse_conv_impl(features, coords, mask, weight, *, kernel_size, stride,
     big = jnp.int32(np.iinfo(np.int32).max)
     ckey = jnp.where(cand_ok, ckey.astype(jnp.int32), big).reshape(-1)
 
-    skey = jnp.sort(ckey)
-    head = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & (skey < big)
-    rank = jnp.cumsum(head) - 1
-    rank = jnp.where(head & (rank < out_capacity), rank, out_capacity)
-    out_keys = jnp.full((out_capacity + 1,), big, jnp.int32).at[rank].min(skey)
-    out_keys = out_keys[:out_capacity]                         # ascending, BIG-padded
+    out_space = _key_space(out_shape, batch_size)
+    if out_space <= _DENSE_MAP_MAX_SPACE:
+        # sort-free dedupe: scatter candidates onto a dense occupancy
+        # plane, then raster-scan the first out_capacity active keys —
+        # ascending for free, no (N*K)-element bitonic sort
+        ok = ckey < big
+        occ = jnp.zeros((out_space + 1,), bool).at[
+            jnp.where(ok, ckey, out_space)].max(ok)[:out_space]
+        (keyidx,) = jnp.nonzero(occ, size=out_capacity, fill_value=-1)
+        out_keys = jnp.where(keyidx >= 0, keyidx, big).astype(jnp.int32)
+    else:
+        skey = jnp.sort(ckey)
+        head = jnp.concatenate([jnp.ones((1,), bool),
+                                skey[1:] != skey[:-1]]) & (skey < big)
+        rank = jnp.cumsum(head) - 1
+        rank = jnp.where(head & (rank < out_capacity), rank, out_capacity)
+        out_keys = jnp.full((out_capacity + 1,), big,
+                            jnp.int32).at[rank].min(skey)
+        out_keys = out_keys[:out_capacity]     # ascending, BIG-padded
     out_mask = out_keys < big
 
     # decode keys back to coords
@@ -616,18 +667,110 @@ def _col_conv_bwd(res, dy):
 _col_conv_core.defvjp(_col_conv_fwd, _col_conv_bwd)
 
 
+def _zdec_combine(y3):
+    """(M, Z, 3, C) per-(z, dz) partials -> (M, Z, C):
+    y[zo] = y3[zo-1, 0] + y3[zo, 1] + y3[zo+1, 2] (kz=3, pz=1)."""
+    y = y3[:, :, 1]
+    y = y + jnp.pad(y3[:, :-1, 0], ((0, 0), (1, 0), (0, 0)))
+    y = y + jnp.pad(y3[:, 1:, 2], ((0, 0), (0, 1), (0, 0)))
+    return y
+
+
+def _col_zdec_impl(features, w2, nbr):
+    """Forward of the z-decomposed column conv: gather 9 spatial
+    neighbors, ONE (M*Z, 9*Cin) x (9*Cin, 3*Cout) GEMM, then combine the
+    three z-shifted partial sums. Identical math to the banded
+    (Z*Cin, Z*Cout) formulation but without its (Z-kz)/Z structural-zero
+    FLOPs (~9x at Z=27, kz=3)."""
+    m, zc = features.shape
+    cin = w2.shape[0] // 9
+    z = zc // cin
+    cout = w2.shape[1] // 3
+    g = jnp.where((nbr >= 0)[..., None],
+                  features[jnp.clip(nbr, 0, m - 1)], 0.0)     # (M, 9, Z*C)
+    g = g.reshape(m, 9, z, cin).transpose(0, 2, 1, 3).reshape(
+        m * z, 9 * cin)
+    y3 = jnp.matmul(g, w2, preferred_element_type=features.dtype)
+    y3 = y3.reshape(m, z, 3, cout)
+    return _zdec_combine(y3).reshape(m, z * cout)
+
+
+@jax.custom_vjp
+def _col_zdec_core(features, w2, nbr):
+    return _col_zdec_impl(features, w2, nbr)
+
+
+def _col_zdec_fwd(features, w2, nbr):
+    return _col_zdec_impl(features, w2, nbr), (features, w2, nbr)
+
+
+def _col_zdec_bwd(res, dy):
+    features, w2, nbr = res
+    m, zc = features.shape
+    cin = w2.shape[0] // 9
+    z = zc // cin
+    cout = w2.shape[1] // 3
+    dy = dy.reshape(m, z, cout)
+
+    # dy3[z, dz] = dy[z + 1 - dz] (adjoint of _zdec_combine)
+    dy3 = jnp.stack([
+        jnp.pad(dy[:, 1:], ((0, 0), (0, 1), (0, 0))),         # dz=0
+        dy,                                                   # dz=1
+        jnp.pad(dy[:, :-1], ((0, 0), (1, 0), (0, 0))),        # dz=2
+    ], axis=2)                                                # (M, Z, 3, Co)
+
+    # dW2 = G^T dY3 (gather rematerialized)
+    g = jnp.where((nbr >= 0)[..., None],
+                  features[jnp.clip(nbr, 0, m - 1)], 0.0)
+    g = g.reshape(m, 9, z, cin).transpose(0, 2, 1, 3).reshape(
+        m * z, 9 * cin)
+    dw2 = jnp.matmul(g.T, dy3.reshape(m * z, 3 * cout),
+                     preferred_element_type=jnp.float32).astype(w2.dtype)
+
+    # dx = conv of dy with the flipped-transposed stencil (flip spatial
+    # taps AND dz inside W', swap cin/cout); the symmetric-stencil
+    # identity {m : nbr[m, t] = j} = {nbr[j, 8-t]} folds the neighbor
+    # flip into the already-flipped W', so the gather uses nbr as-is
+    w4 = w2.reshape(9, cin, 3, cout)
+    w2t = w4[::-1, :, ::-1, :].transpose(0, 3, 2, 1).reshape(
+        9 * cout, 3 * cin)
+    dx = _col_zdec_impl(dy.reshape(m, z * cout).astype(features.dtype),
+                        w2t.astype(features.dtype), nbr)
+    return dx, dw2, np.zeros(nbr.shape, dtype=jax.dtypes.float0)
+
+
+_col_zdec_core.defvjp(_col_zdec_fwd, _col_zdec_bwd)
+
+
 def col_subm_conv(ct: ColTensor, weight: jax.Array, out_channels: int,
-                  kernel_size=3, padding=1) -> ColTensor:
+                  kernel_size=3, padding=1, impl: str = "banded") -> ColTensor:
     """Submanifold conv in the active-column layout: output active set ==
     input active set (3D voxels), so zocc and the neighbor map carry over.
-    Numerically identical to subm_conv3d / zfold_conv(subm=True)."""
+    Numerically identical to subm_conv3d / zfold_conv(subm=True).
+
+    impl='zdec' decomposes z out of the GEMM for the (3,3,3)/pad-1
+    stencil — only the true sparse-conv FLOPs instead of the banded
+    matrix's ~(Z-kz)/Z structural zeros. MEASURED SLOWER on the target
+    chip (stage-1 pair 99.5 ms vs 47.7 ms banded at eval capacity): the
+    (M, 9, Z, 16)->(M, Z, 9*16) transpose and the N=48-lane GEMM lose
+    more to layout passes at C=16 than the 9x structural zeros cost on
+    the fully-utilized banded GEMM. Kept for larger-C shapes; 'banded' is
+    the default."""
     ks = _as3(kernel_size)
     pz, py, px = _as3(padding)
-    w2, _ = _zfold_weight(weight, ks[0], ct.z, ct.z, 1, pz)
-    w2flat = w2.reshape(ks[1] * ks[2] * ct.z * ct.channels,
-                        ct.z * out_channels).astype(ct.features.dtype)
     nbr = _col_neighbors(ct, ks[1], ks[2], py, px)
-    y = _col_conv_core(ct.features, w2flat, nbr)
+    if impl == "zdec" and ks == (3, 3, 3) and (pz, py, px) == (1, 1, 1):
+        k, cin, cout = weight.shape
+        # W2[tap*Cin+ci, dz*Cout+co] = weight[dz*9 + tap, ci, co]
+        # (z-major tap order per _offsets)
+        w2 = weight.reshape(3, 9, cin, cout).transpose(1, 2, 0, 3).reshape(
+            9 * cin, 3 * cout).astype(ct.features.dtype)
+        y = _col_zdec_core(ct.features, w2, nbr)
+    else:
+        w2, _ = _zfold_weight(weight, ks[0], ct.z, ct.z, 1, pz)
+        w2flat = w2.reshape(ks[1] * ks[2] * ct.z * ct.channels,
+                            ct.z * out_channels).astype(ct.features.dtype)
+        y = _col_conv_core(ct.features, w2flat, nbr)
     m = y.shape[0]
     y = y.reshape(m, ct.z, out_channels) * ct.zocc[..., None].astype(y.dtype)
     return ct._replace(features=y.reshape(m, ct.z * out_channels),
@@ -773,6 +916,8 @@ def sparse_inverse_conv3d(st: SparseTensor, weight: jax.Array,
                           target.spatial_shape)
     in_keys = linear_key(st.coords, st.spatial_shape, st.mask)
     out_keys = linear_key(target.coords, target.spatial_shape, target.mask)
-    feats = _conv_core(st.features, weight.reshape(k, cin, -1), q_fwd, q_bwd,
+    feats = _conv_core(_key_space(st.spatial_shape, st.batch_size),
+                       _key_space(target.spatial_shape, target.batch_size),
+                       st.features, weight.reshape(k, cin, -1), q_fwd, q_bwd,
                        in_keys, out_keys, st.mask, target.mask)
     return target._replace(features=feats)

@@ -53,17 +53,84 @@ def _bilinear_patch(patch: jax.Array, fy: jax.Array, fx: jax.Array):
     return jnp.where(inb, v, 0.0)
 
 
+def rasterize_masks(det_boxes: jax.Array, det_masks: jax.Array,
+                    det_scores: jax.Array, image_size: tuple,
+                    score_thresh: float = 0.5,
+                    mask_thresh: float = 0.5) -> jax.Array:
+    """Paste all D<=32 detection mask patches onto ONE (H, W) int32 bit
+    canvas (bit d set where instance d's mask covers the pixel).
+
+    The patch -> image resize is two small matmuls per instance
+    (A_y @ patch @ A_x^T with per-instance bilinear weight matrices built
+    by broadcast comparisons), so no gathers at all; this mirrors the
+    reference's full-resolution mask raster (annToMask) that mask[v, u]
+    indexes (shared_utils.py:104-115).
+    """
+    h, w = image_size
+    d, mh, mw = det_masks.shape
+    assert d <= 32, "bit canvas holds up to 32 instances"
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]            # (H, 1)
+    xs = jnp.arange(w, dtype=jnp.float32)[:, None]            # (W, 1)
+    ksy = jnp.arange(mh, dtype=jnp.float32)[None, :]          # (1, mh)
+    ksx = jnp.arange(mw, dtype=jnp.float32)[None, :]          # (1, mw)
+
+    def one(box, patch, score):
+        x1, y1, x2, y2 = box
+        bw = jnp.maximum(x2 - x1, 1e-3)
+        bh = jnp.maximum(y2 - y1, 1e-3)
+        fy = (ys + 0.5 - y1) / bh * mh - 0.5                  # (H, 1)
+        fx = (xs + 0.5 - x1) / bw * mw - 0.5                  # (W, 1)
+        ay = jnp.maximum(0.0, 1.0 - jnp.abs(fy - ksy))        # (H, mh)
+        ax = jnp.maximum(0.0, 1.0 - jnp.abs(fx - ksx))        # (W, mw)
+        # clamp-to-edge at the patch border (matches bilinear w/ clipping)
+        ay = ay.at[:, 0].add(jnp.maximum(0.0, -fy[:, 0]))
+        ay = ay.at[:, mh - 1].add(jnp.maximum(0.0, fy[:, 0] - (mh - 1)))
+        ax = ax.at[:, 0].add(jnp.maximum(0.0, -fx[:, 0]))
+        ax = ax.at[:, mw - 1].add(jnp.maximum(0.0, fx[:, 0] - (mw - 1)))
+        inb_y = (fy[:, 0] >= -0.5) & (fy[:, 0] <= mh - 0.5)
+        inb_x = (fx[:, 0] >= -0.5) & (fx[:, 0] <= mw - 0.5)
+        val = (ay @ patch @ ax.T)                             # (H, W)
+        on = (val >= mask_thresh) & (score >= score_thresh)
+        return on & inb_y[:, None] & inb_x[None, :]
+
+    bits = jax.vmap(one)(det_boxes, det_masks, det_scores)    # (D, H, W)
+    weights = (1 << jnp.arange(d, dtype=jnp.int32))[:, None, None]
+    return jnp.sum(bits.astype(jnp.int32) * weights, axis=0)  # (H, W)
+
+
 def mask_membership(points: jax.Array, valid: jax.Array, proj: jax.Array,
                     det_boxes: jax.Array, det_masks: jax.Array,
                     det_scores: jax.Array, score_thresh: float = 0.5,
-                    mask_thresh: float = 0.5) -> jax.Array:
+                    mask_thresh: float = 0.5,
+                    image_size: tuple | None = None) -> jax.Array:
     """(D, P) bool: which in-FOV points fall inside each detection's mask.
 
     det_boxes (D, 4) xyxy in image coords, det_masks (D, mh, mw) patch
     probabilities (Mask R-CNN native output), det_scores (D,).
+
+    With ``image_size`` the masks are rasterized once onto a 32-bit canvas
+    and each point costs ONE integer gather (the reference's mask[v, u]
+    semantics, shared_utils.py:113-115) — 128x fewer gathers than the
+    per-instance bilinear path (measured 199 ms -> the canvas path at
+    bench shapes), which remains as the fallback when no image size is
+    given.
     """
     u, v, depth = project_points(points[:, :3], proj)
     in_front = depth > 0.1
+
+    if image_size is not None:
+        canvas = rasterize_masks(det_boxes, det_masks, det_scores,
+                                 image_size, score_thresh, mask_thresh)
+        h, w = image_size
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
+        in_img = (u >= -0.5) & (u <= w - 0.5) & (v >= -0.5) & (v <= h - 0.5)
+        bits = canvas[vi, ui]                                  # (P,) int32
+        ok = in_front & valid & in_img
+        d = det_masks.shape[0]
+        sel = (bits[None, :] >> jnp.arange(d, dtype=jnp.int32)[:, None]) & 1
+        return (sel > 0) & ok[None, :]
 
     def one(box, patch, score):
         x1, y1, x2, y2 = box
@@ -94,9 +161,29 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
     largest cluster is under ``min_cluster`` points are flagged invalid.
     """
     d, p = membership.shape
+    m = max_instance_pts
+    # two-stage compaction: a SINGLE any-member pass over the full P first
+    # (the per-instance (D, P) cumsum was measured at ~47 ms at bench
+    # shapes regardless of formulation), then the per-instance ranking
+    # runs over only the candidate subset
+    cand_cap = min(p, 2 * d * m if d * m < 1 << 16 else 1 << 16)
+    anybit = membership.any(axis=0)                          # (P,)
+    (cand,) = jnp.nonzero(anybit, size=cand_cap, fill_value=-1)
+    cvalid = cand >= 0
+    csafe = jnp.maximum(cand, 0)
+    mem_c = membership[:, csafe] & cvalid[None, :]           # (D, Pc)
+    pc = cand_cap
 
-    def one(member):
-        idx = jnp.nonzero(member, size=max_instance_pts, fill_value=-1)[0]
+    rank = jnp.cumsum(mem_c, axis=1, dtype=jnp.int32) - 1
+    ok = mem_c & (rank < m)
+    tgt = jnp.where(ok, jnp.arange(d, dtype=jnp.int32)[:, None] * m + rank,
+                    d * m)
+    src = jnp.broadcast_to(csafe[None, :], (d, pc))
+    gathered = jnp.full((d * m + 1,), -1, jnp.int32).at[tgt.reshape(-1)].max(
+        jnp.where(ok, src, -1).reshape(-1))
+    inst_idx = gathered[:d * m].reshape(d, m)
+
+    def one(idx):
         iv = idx >= 0
         pts = jnp.where(iv[:, None], points[jnp.maximum(idx, 0), :3], 0.0)
         centroid = pts.sum(0) / jnp.maximum(iv.sum(), 1)
@@ -109,7 +196,7 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
         out, _ = tile_to_n(pts, cmask, out_pts)
         return out, ok
 
-    return jax.vmap(one)(membership)
+    return jax.vmap(one)(inst_idx)
 
 
 def replace_with_completed(points: jax.Array, valid: jax.Array,

@@ -88,3 +88,35 @@ def test_replace_with_completed():
         jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(completed),
         jnp.asarray(np.array([False])), point_dist_thresh=0.1)
     assert np.asarray(nv).tolist() == [True, True, True, False, False]
+
+
+def test_mask_membership_canvas_matches_bilinear():
+    """The rasterized bit-canvas path must agree with the per-point
+    bilinear path away from mask borders (canvas = nearest-pixel of the
+    same bilinear field, the reference's mask[v, u] semantics)."""
+    rng = np.random.RandomState(4)
+    h, w = 96, 128
+    proj = np.array([[50.0, 0, 64.0, 0], [0, 50.0, 48.0, 0],
+                     [0, 0, 1.0, 0]], np.float32)
+    # points across the image plane at depth 5
+    n = 500
+    pts = np.stack([rng.uniform(-5, 5, n), rng.uniform(-4, 4, n),
+                    np.full(n, 5.0)], axis=1).astype(np.float32)
+    valid = np.ones(n, bool)
+    boxes = np.array([[10.0, 10.0, 70.0, 60.0],
+                      [60.0, 30.0, 120.0, 90.0]], np.float32)
+    # blocky half-on masks (sharp but axis-aligned borders)
+    masks = np.zeros((2, 28, 28), np.float32)
+    masks[0, :, :14] = 1.0
+    masks[1, 7:, :] = 1.0
+    scores = np.array([0.9, 0.8], np.float32)
+
+    args = (jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(proj),
+            jnp.asarray(boxes), jnp.asarray(masks), jnp.asarray(scores))
+    m_bil = np.asarray(DP.mask_membership(*args))
+    m_can = np.asarray(DP.mask_membership(*args, image_size=(h, w)))
+    # borders quantize differently (nearest pixel vs exact uv); demand
+    # agreement on >98% of (instance, point) decisions and all deep-inside
+    agree = (m_bil == m_can).mean()
+    assert agree > 0.98, agree
+    assert m_can.any()                      # canvas path actually selects

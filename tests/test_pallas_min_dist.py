@@ -30,3 +30,24 @@ def test_padding_rows_do_not_leak():
     got = np.asarray(min_sqdist(a, b, interpret=True))
     ref = np.asarray(min_sqdist_reference(a, b))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_gram_form_matches_reference_at_lidar_ranges():
+    """MXU Gram form with centring stays accurate at real lidar offsets
+    (the cancellation regime that motivated the diff form)."""
+    rng = np.random.RandomState(2)
+    a = rng.randn(500, 3).astype(np.float32) * 3 + [45.0, -20.0, 0.0]
+    b = rng.randn(900, 3).astype(np.float32) * 3 + [44.0, -19.0, 0.0]
+    got = np.asarray(min_sqdist(jnp.asarray(a), jnp.asarray(b),
+                                interpret=True, form="gram"))
+    ref = np.asarray(min_sqdist_reference(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_gram_form_with_invalid_rows():
+    a = jnp.asarray([[10.0, 0, 0]])
+    b = jnp.asarray([[10.1, 0, 0], [15.0, 0, 0]])
+    valid = jnp.asarray([False, True])
+    got = float(min_sqdist(a, b, b_valid=valid, interpret=True,
+                           form="gram")[0])
+    np.testing.assert_allclose(got, 25.0, atol=1e-2)

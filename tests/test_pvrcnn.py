@@ -325,3 +325,40 @@ def test_pvrcnn_plusplus_spc_sampling():
     (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         variables["params"])
     assert np.isfinite(float(loss))
+
+
+def test_grid_ball_query_matches_dense():
+    """Hash-grid ball query == dense first-N-by-index semantics
+    (the CUDA ball_query contract) on random clouds, incl. masks."""
+    from seevcn_tpu.ops.pointnet2 import _dense_ball_query, grid_ball_query
+
+    rng = np.random.RandomState(7)
+    sup = rng.uniform(-20, 20, (3000, 3)).astype(np.float32)
+    q = rng.uniform(-20, 20, (128, 3)).astype(np.float32)
+    valid = rng.rand(3000) < 0.9
+    for radius, ns in ((1.0, 8), (3.0, 16)):
+        gi, gv = grid_ball_query(jnp.asarray(q), jnp.asarray(sup),
+                                 radius, ns, jnp.asarray(valid))
+        di, dv = _dense_ball_query(jnp.asarray(q), jnp.asarray(sup),
+                                   radius, ns, jnp.asarray(valid))
+        gi, gv = np.asarray(gi), np.asarray(gv)
+        di, dv = np.asarray(di), np.asarray(dv)
+        np.testing.assert_array_equal(gv, dv)
+        np.testing.assert_array_equal(gi[gv], di[dv])
+
+
+def test_grid_ball_query_dispatch_threshold():
+    """ball_query() routes large supports through the grid path and the
+    results still honour first-N ordering."""
+    from seevcn_tpu.ops.pointnet2 import (_GRID_BQ_MIN_SUPPORT, ball_query,
+                                          _dense_ball_query)
+
+    rng = np.random.RandomState(8)
+    n = _GRID_BQ_MIN_SUPPORT
+    sup = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    q = sup[rng.choice(n, 64, replace=False)] + 0.05
+    gi, gv = ball_query(jnp.asarray(q), jnp.asarray(sup), 0.5, 8)
+    di, dv = _dense_ball_query(jnp.asarray(q), jnp.asarray(sup), 0.5, 8)
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(gi)[np.asarray(gv)],
+                                  np.asarray(di)[np.asarray(dv)])

@@ -644,3 +644,28 @@ def test_multi_scale_extraction_matches_sparse():
         # rows come out key-sorted (SparseTensor invariant)
         valid_keys = km_got[np.asarray(got.mask)]
         assert (np.diff(valid_keys) > 0).all()
+
+
+def test_col_zdec_conv_matches_banded():
+    """impl='zdec' (z decomposed out of the GEMM) == banded, values and
+    grads."""
+    rng = np.random.RandomState(23)
+    st, dense, occ = _random_sparse(rng, dims=(5, 7, 8), cin=3)
+    w = jnp.asarray(rng.randn(27, 3, 4).astype(np.float32) * 0.3)
+    ct = SP.to_col_tensor(st)
+    out_b = SP.col_subm_conv(ct, w, 4, impl="banded")
+    out_z = SP.col_subm_conv(ct, w, 4, impl="zdec")
+    np.testing.assert_allclose(np.asarray(out_z.features),
+                               np.asarray(out_b.features),
+                               rtol=1e-4, atol=1e-5)
+
+    def f(feats, w, impl):
+        out = SP.col_subm_conv(ct._replace(features=feats), w, 4, impl=impl)
+        return jnp.sum(out.features ** 2)
+
+    gb_f, gb_w = jax.grad(f, argnums=(0, 1))(ct.features, w, "banded")
+    gz_f, gz_w = jax.grad(f, argnums=(0, 1))(ct.features, w, "zdec")
+    np.testing.assert_allclose(np.asarray(gz_w), np.asarray(gb_w),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gz_f), np.asarray(gb_f),
+                               rtol=1e-3, atol=1e-4)
