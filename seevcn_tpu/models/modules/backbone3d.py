@@ -95,9 +95,14 @@ class SpConvLayer(nn.Module):
             f = f.astype(st.features.dtype)
             return out._replace(features=f.reshape(m, -1))
         if isinstance(st, SP.ZFoldTensor):
+            # 'auto' (zblock for deep-z subm convs) wins FORWARD only; the
+            # per-block convs make the filter-grad backward slower than the
+            # single banded conv (train step 425 vs 361 ms measured), so
+            # training pins the band
             out = SP.zfold_conv(st, w, self.out_channels, kernel_size=ks,
                                 stride=self.stride, padding=self.padding,
-                                subm=self.subm)
+                                subm=self.subm,
+                                impl="band" if train else "auto")
             b, yy, xx, _ = out.features.shape
             f = out.features.reshape(b, yy, xx, out.z, self.out_channels)
             f = DenseMaskedBatchNorm(name="bn")(f, out.occ, train)

@@ -19,8 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import sparse as SP
-from ...ops.pointnet2 import ball_query, group_features, masked_max_pool
-from ...ops.sampling import (farthest_point_sample,
+from ...ops.pointnet2 import (_GRID_BQ_MIN_SUPPORT, ball_query,
+                              build_grid_table, grid_ball_query_table,
+                              group_features, masked_max_pool)
+from ...ops.sampling import (farthest_point_sample, grid_subsample,
                              sample_points_with_roi_mask, sector_fps_sample)
 from .roi_heads import bilinear_sample
 
@@ -60,17 +62,36 @@ class SALayer(nn.Module):
                  train: bool = False):
         b, k = new_xyz.shape[:2]
         outs = []
+        # one hash table per support set, shared by every radius: the
+        # build (an argsort over N) dominates a grid ball query, so cell
+        # = max(radii) and each radius only re-runs the cheap probe phase
+        shared_cell = float(max(self.radii))
+        shared_cap = max(2 * max(int(n) for n in self.nsamples), 32)
+        use_grid = support_xyz.shape[1] >= _GRID_BQ_MIN_SUPPORT
+        if use_grid:
+            tables = jax.vmap(lambda s, v: build_grid_table(
+                s, shared_cell, v, capacity=shared_cap))(support_xyz,
+                                                         support_valid)
         for i, (r, ns, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
-            def gather(q, sup, v, f=None):
-                idx, valid = ball_query(q, sup, float(r), int(ns), v)
+            def gather(q, sup, v, f=None, tab=None):
+                if tab is not None:
+                    # invalid supports never enter the table, so no
+                    # re-check against v is needed here
+                    idx, valid = grid_ball_query_table(tab, q, shared_cell,
+                                                       float(r), int(ns))
+                else:
+                    idx, valid = ball_query(q, sup, float(r), int(ns), v)
                 return group_features(idx, valid, q, sup, f), valid
 
-            if support_feats is None:
-                grouped, valid = jax.vmap(gather)(new_xyz, support_xyz,
-                                                  support_valid)
+            args = (new_xyz, support_xyz, support_valid) + \
+                (() if support_feats is None else (support_feats,))
+            if use_grid:
+                grouped, valid = jax.vmap(
+                    lambda q, sup, v, *f_and_tab: gather(
+                        q, sup, v, *f_and_tab[:-1], tab=f_and_tab[-1]))(
+                    *args, tables)
             else:
-                grouped, valid = jax.vmap(gather)(new_xyz, support_xyz,
-                                                  support_valid, support_feats)
+                grouped, valid = jax.vmap(gather)(*args)
             g = grouped.reshape(b * k, *grouped.shape[2:])
             v = valid.reshape(b * k, -1)
             outs.append(SAGroupMLP(tuple(mlp), name=f"scale{i}")(g, v, train)
@@ -220,19 +241,41 @@ class VoxelSetAbstraction(nn.Module):
             radius = float(spc["SAMPLE_RADIUS_WITH_ROI"])
             num_sectors = int(spc["NUM_SECTORS"])
 
+            spc_pre_cell = float(cfg.get("FPS_PRE_GRID_CELL", 0.35))
+            spc_pre_cap = 1 << 15
+
             def sample_one(pts, valid, r, rm):
                 near = sample_points_with_roi_mask(pts[:, :3], r, rm, radius,
                                                    valid)
                 # reference falls back to points[:1] when nothing is near a
                 # roi; falling back to all valid points keeps K useful picks
                 near = jnp.where(near.any(), near, valid)
+                if spc_pre_cell > 0 and pts.shape[0] > spc_pre_cap:
+                    sidx, sok = grid_subsample(pts[:, :3], near,
+                                               spc_pre_cell, spc_pre_cap)
+                    sub = pts[sidx, :3]
+                    idx, _ = sector_fps_sample(sub, sok, k, num_sectors)
+                    return sub[idx]
                 idx, _ = sector_fps_sample(pts[:, :3], near, k, num_sectors)
                 return pts[idx, :3]
 
             keypoints = jax.vmap(sample_one)(points, points_valid,
                                              rois, roi_mask)
         else:
+            # big clouds: grid-dedupe to <=32k representatives first —
+            # the serial FPS scan is O(K*P) (163 ms at 4096 x 150k); FPS
+            # over 0.35 m-cell representatives is equivalent at keypoint
+            # spacings of metres. FPS_PRE_GRID_CELL: 0 opts out.
+            pre_cell = float(cfg.get("FPS_PRE_GRID_CELL", 0.35))
+            pre_cap = 1 << 15
+
             def sample_one(pts, valid):
+                if pre_cell > 0 and pts.shape[0] > pre_cap:
+                    sidx, sok = grid_subsample(pts[:, :3], valid, pre_cell,
+                                               pre_cap)
+                    sub = pts[sidx, :3]
+                    idx = farthest_point_sample(sub, k, sok)
+                    return sub[idx]
                 idx = farthest_point_sample(pts[:, :3], k, valid)
                 return pts[idx, :3]
 

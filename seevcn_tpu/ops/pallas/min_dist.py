@@ -49,6 +49,42 @@ def _kernel_diff(a_ref, b_ref, out_ref):
         out_ref[:] = jnp.minimum(out_ref[:], tile_min)
 
 
+def _make_kernel_diff_pruned(r2: float):
+    """Tile-pruned diff kernel: each (i, j) pair first separation-tests the
+    two tiles' AABBs (from SMEM); pairs farther apart than ``sqrt(r2)``
+    skip the (TN, TM) distance sweep entirely. Pruned pairs leave the
+    running minimum untouched, so the result is exact for every query
+    whose true nearest b lies within the radius — the only queries a
+    within-radius test cares about. Skipped-everything rows stay at 1e18.
+    """
+    def kernel(abox_ref, bbox_ref, a_ref, b_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.full(out_ref.shape, 1e18, jnp.float32)
+
+        i = pl.program_id(0)
+        gap2 = jnp.float32(0.0)
+        for c in range(3):
+            g = jnp.maximum(
+                jnp.maximum(abox_ref[i, c] - bbox_ref[j, 3 + c],
+                            bbox_ref[j, c] - abox_ref[i, 3 + c]), 0.0)
+            gap2 = gap2 + g * g
+
+        @pl.when(gap2 <= r2)
+        def _():
+            a = a_ref[:]
+            b = b_ref[:]
+            d = jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
+            for c in range(3):
+                diff = a[:, c:c + 1] - b[:, c:c + 1].T
+                d = d + diff * diff
+            out_ref[:] = jnp.minimum(out_ref[:], jnp.min(d, axis=1))
+
+    return kernel
+
+
 def _kernel_gram(a_ref, b_ref, out_ref):
     """Gram form on the MXU: d = |a|^2 - 2 a.b + |b|^2.
 
@@ -80,9 +116,10 @@ def _kernel_gram(a_ref, b_ref, out_ref):
         out_ref[:] = jnp.minimum(out_ref[:], tile_min)
 
 
-@partial(jax.jit, static_argnames=("interpret", "form"))
+@partial(jax.jit, static_argnames=("interpret", "form", "prune_radius"))
 def min_sqdist(a: jax.Array, b: jax.Array, b_valid: jax.Array | None = None,
-               interpret: bool = False, form: str = "diff") -> jax.Array:
+               interpret: bool = False, form: str = "diff",
+               prune_radius: float | None = None) -> jax.Array:
     """a (N, 3), b (M, 3) -> (N,) min squared distance to any (valid) b.
 
     Invalid/padding b rows are pushed to +1e18 so they never win the min.
@@ -90,6 +127,15 @@ def min_sqdist(a: jax.Array, b: jax.Array, b_valid: jax.Array | None = None,
     the cross term on the MXU with b-mean centring — MEASURED SLOWER at
     the replacement stage's K=4 (51.7 ms vs 27 ms): a K=4 matmul uses
     ~3% of the 128-deep systolic array, so the MXU loses to 9 VPU passes.
+
+    ``prune_radius`` (diff form only): skip tile pairs whose AABBs are
+    farther apart than the radius — distances are then only guaranteed
+    exact when they are <= prune_radius (others may read 1e18), which is
+    precisely the contract a within-radius test needs. At the SEE
+    replacement stage (150k scan vs 32 clustered car surfaces) most of
+    the (147 x 32) tile grid prunes away. A hash-grid candidate-pruning
+    formulation was also measured here: 56 ms — the (N, 27*cap) bucket
+    row gathers serialize on TPU, losing to the brute-force sweep.
     """
     n, m = a.shape[0], b.shape[0]
     a = a.astype(jnp.float32)
@@ -119,6 +165,29 @@ def min_sqdist(a: jax.Array, b: jax.Array, b_valid: jax.Array | None = None,
         b_p = b_p.at[m:, :3].set(1e9)
 
     grid = (a_p.shape[0] // TN, b_p.shape[0] // TM)
+    if prune_radius is not None and form == "diff":
+        from jax.experimental.pallas import tpu as pltpu
+
+        def tile_boxes(x, t):
+            xt = x[:, :3].reshape(-1, t, 3)
+            return jnp.concatenate([xt.min(axis=1), xt.max(axis=1)], axis=1)
+
+        # padded a rows (zeros) only widen the last tile's box: conservative
+        abox = tile_boxes(a_p, TN)                          # (gi, 6)
+        bbox = tile_boxes(b_p, TM)                          # (gj, 6)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret \
+            else pl.BlockSpec(memory_space=None)
+        out = pl.pallas_call(
+            _make_kernel_diff_pruned(float(prune_radius) ** 2),
+            grid=grid,
+            in_specs=[smem, smem,
+                      pl.BlockSpec((TN, 4), lambda i, j: (i, 0)),
+                      pl.BlockSpec((TM, 4), lambda i, j: (j, 0))],
+            out_specs=pl.BlockSpec((TN,), lambda i, j: (i,)),
+            out_shape=jax.ShapeDtypeStruct((a_p.shape[0],), jnp.float32),
+            interpret=interpret,
+        )(abox, bbox, a_p, b_p)
+        return out[:n]
     out = pl.pallas_call(
         _kernel_gram if form == "gram" else _kernel_diff,
         grid=grid,

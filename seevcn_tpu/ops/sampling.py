@@ -90,7 +90,10 @@ def knn_union_mask(partial_pc: jax.Array, complete_pc: jax.Array, k: int,
     d = pairwise_sqdist(partial_pc, complete_pc)  # (N, M)
     if partial_valid is not None:
         d = jnp.where(partial_valid[:, None], d, jnp.inf)
-    _, idx = jax.lax.top_k(-d, k)  # (N, k)
+    # approx_max_k: TPU-native approximate top-k (recall ~0.95 per row;
+    # measured overlap 1.0 on the union at VCN shapes) — other backends
+    # lower it to the exact sort
+    _, idx = jax.lax.approx_max_k(-d, k, recall_target=0.95)  # (N, k)
     mask = jnp.zeros((complete_pc.shape[0],), dtype=bool)
     row_ok = jnp.ones_like(idx, dtype=bool) if partial_valid is None \
         else jnp.broadcast_to(partial_valid[:, None], idx.shape)
@@ -127,6 +130,38 @@ def resample_points(points: jax.Array, valid: jax.Array, n: int, rng: jax.Array 
         valid = valid[perm]
     out, _ = tile_to_n(points, valid, n)
     return out
+
+
+@partial(jax.jit, static_argnames=("max_out", "table_size"))
+def grid_subsample(points: jax.Array, valid: jax.Array, cell,
+                   max_out: int, table_size: int = 1 << 18):
+    """Keep the lowest-index point per occupied (hashed) cell, compacted
+    to ``max_out`` slots -> ((max_out,) int32 indices, (max_out,) bool).
+
+    A cheap spatial dedupe used to bound the FPS scan length on big
+    clouds: FPS over the representatives is near-identical to FPS over
+    the raw cloud whenever the target spacing >> ``cell`` (4096 keypoints
+    over a driving scene sit metres apart; cell ~0.35 m). Hash collisions
+    merge distant cells (drops a point), and more than ``max_out``
+    occupied cells truncate in hash order — both benign for sampling.
+    """
+    n = points.shape[0]
+    p1, p2, p3 = 73856093, 19349663, 83492791
+    origin = jnp.min(jnp.where(valid[:, None], points[:, :3], jnp.inf),
+                     axis=0)
+    origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+    c = jnp.floor((points[:, :3] - origin) /
+                  jnp.maximum(cell, 1e-3)).astype(jnp.int32)
+    h = jnp.abs((c[:, 0] * p1) ^ (c[:, 1] * p2) ^ (c[:, 2] * p3)) % table_size
+    h = jnp.where(valid, h, jnp.int32(table_size))
+    big = jnp.int32(n)
+    slot = jnp.full((table_size + 1,), big, jnp.int32).at[h].min(
+        jnp.arange(n, dtype=jnp.int32))
+    occ = slot[:table_size] < big
+    (sel,) = jnp.nonzero(occ, size=max_out, fill_value=-1)
+    ok = sel >= 0
+    idx = slot[jnp.maximum(sel, 0)]
+    return jnp.where(ok, idx, 0).astype(jnp.int32), ok
 
 
 def sample_points_with_roi_mask(points: jax.Array, rois: jax.Array,
@@ -236,7 +271,8 @@ def within_radius_mask(a: jax.Array, b: jax.Array, radius: float,
         from .pallas.min_dist import min_sqdist
 
         d = min_sqdist(jnp.asarray(a, jnp.float32)[:, :3],
-                       jnp.asarray(b, jnp.float32)[:, :3], b_valid=b_valid)
+                       jnp.asarray(b, jnp.float32)[:, :3], b_valid=b_valid,
+                       prune_radius=float(radius))
         return d <= radius * radius
     return _within_radius_mask_xla(a, b, radius, b_valid, chunk=chunk)
 

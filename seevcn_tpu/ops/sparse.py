@@ -501,20 +501,141 @@ def _zfold_weight(weight: jax.Array, kz: int, zin: int, zout: int,
     return w2, zadj
 
 
+def _zgroup_weight(weight: jax.Array, kz: int, G: int, sz: int):
+    """(K, Cin, Cout) rulebook weight -> (ky, kx, S*Cin, G*Cout) slab
+    weight shared by every z-group, S = (G-1)*sz + kz slab planes.
+
+    Local mapping: output plane l (0..G-1) of a group reads slab planes
+    l*sz + dz, dz in 0..kz-1 (the slab starts at global z g*G*sz - pz, so
+    the pad offset cancels out of the local index).
+    """
+    k, cin, cout = weight.shape
+    ky = kx = int(round((k // kz) ** 0.5))
+    s = (G - 1) * sz + kz
+    sel = np.zeros((G, kz, s), np.float32)
+    for l in range(G):
+        for dz in range(kz):
+            sel[l, dz, l * sz + dz] = 1.0
+    w5j = weight.reshape(kz, ky, kx, cin, cout)
+    w2 = jnp.einsum("lds,dabco->absclo", jnp.asarray(sel), w5j,
+                    precision="highest")
+    return w2.reshape(ky, kx, s * cin, G * cout), s
+
+
+def _zgroup_pick(zin: int, zout: int, cout: int, kz: int, sz: int):
+    """Group size G for impl='zgroup' (targets G*Cout ~ 128 output
+    lanes). MEASURED (v5e, bf16, reference eval shapes): despite the
+    ~2-3x structural-FLOP saving, zgroup LOSES to the full band at every
+    backbone signature except conv4_down (35.6 vs 29.0 ms stage-1 subm;
+    23.0 vs 14.7 conv2_down; 13.2 vs 9.8 stage-2) — the single big
+    (Zin*Cin -> Zout*Cout) conv2d runs at ~65 TFLOP/s bf16 while the
+    slab-batched form pays the slab stack + output transpose and tiles
+    worse. 'auto' therefore always picks the band; 'zgroup' stays for
+    shapes where slabs win (deep z, wide C)."""
+    G = max(1, min(128 // max(cout, 1), zout))
+    del zin, kz, sz
+    return G
+
+
+def _zblock_blocks(zin: int, zout: int, cout: int, kz: int, sz: int,
+                   pz: int, g: int | None = None):
+    """Contiguous output-z blocks for impl='zblock' and each block's input
+    z band: [(zo0, zo1, zi_lo, zi_hi), ...]. Block size targets G*Cout ~
+    128 output lanes (full MXU width per block)."""
+    if g is None:
+        g = max(1, 128 // max(cout, 1))
+    blocks = []
+    for zo0 in range(0, zout, g):
+        zo1 = min(zo0 + g, zout)
+        zi_lo = max(0, zo0 * sz - pz)
+        zi_hi = min(zin, (zo1 - 1) * sz - pz + kz)
+        blocks.append((zo0, zo1, zi_lo, zi_hi))
+    return blocks
+
+
 def zfold_conv(zt: ZFoldTensor, weight: jax.Array, out_channels: int,
                kernel_size=3, stride=1, padding=0,
-               subm: bool = False) -> ZFoldTensor:
-    """Sub-manifold or strided conv on the z-folded layout — one conv2d."""
+               subm: bool = False, impl: str = "auto") -> ZFoldTensor:
+    """Sub-manifold or strided conv on the z-folded layout.
+
+    impl='band': ONE conv2d with the full (Zin*Cin, Zout*Cout) banded
+    channel matrix — ~Zin/kz structural-zero overhead. impl='zgroup':
+    batch z into groups of G output planes (G*Cout ~ 128 lanes), each
+    group a conv2d over its (G-1)*sz+kz-plane input slab — the slab
+    weight is shared so all groups run as one conv2d with batch
+    B*ngroups; structural overhead drops to S/(G*... ~ kz/sz per plane.
+    impl='zblock': same G-plane output blocks but as SEPARATE conv2ds,
+    each slicing only its banded input-channel range from the canvas and
+    its (band, G*Cout) sub-matrix from the banded weight — none of
+    zgroup's slab-stack copies or output transposes, structural zeros cut
+    to ~(G*sz+kz)/(G*kz) per block.
+    'auto' picks by a MEASURED table (v5e, bf16, reference eval shapes,
+    scripts/profile_zconv_impls.py): zblock wins the deep-z submanifold
+    convs (stage-1 subm 26.7 vs 30.7 ms, stage-2 subm 8.9 vs 14.0) and
+    ties or loses elsewhere (small-cin input conv, strided downs) where
+    the single banded conv2d's better tiling beats the FLOP saving.
+    """
     ks = _as3(kernel_size)
     sz, sy, sx = (1, 1, 1) if subm else _as3(stride)
     pz, py, px = _as3(padding)
     zin = zt.z
     zout = zin if subm else (zin + 2 * pz - ks[0]) // sz + 1
-    w2, zadj = _zfold_weight(weight, ks[0], zin, zout, sz, pz)
-    y = jax.lax.conv_general_dilated(
-        zt.features, w2.astype(zt.features.dtype), window_strides=(sy, sx),
-        padding=[(py, py), (px, px)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    cin = zt.channels
+    if impl == "auto" and subm and cin >= 16 and zin >= 14:
+        impl = "zblock"
+    if impl == "zblock":
+        w2, zadj = _zfold_weight(weight, ks[0], zin, zout, sz, pz)
+        w2 = w2.astype(zt.features.dtype)
+        cout = out_channels
+        ys = []
+        for zo0, zo1, zi_lo, zi_hi in _zblock_blocks(
+                zin, zout, cout, ks[0], sz, pz):
+            ys.append(jax.lax.conv_general_dilated(
+                zt.features[..., zi_lo * cin:zi_hi * cin],
+                w2[:, :, zi_lo * cin:zi_hi * cin, zo0 * cout:zo1 * cout],
+                window_strides=(sy, sx), padding=[(py, py), (px, px)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        y = jnp.concatenate(ys, axis=-1) if len(ys) > 1 else ys[0]
+        return _zfold_finish(zt, y, zadj, ks, sy, sx, py, px, zout,
+                             out_channels, subm)
+    G = None if impl in ("auto", "band") else \
+        _zgroup_pick(zin, zout, out_channels, ks[0], sz)
+    if G is not None:
+        b, yy, xx, _ = zt.features.shape
+        ngroups = -(-zout // G)
+        w2g, s = _zgroup_weight(weight, ks[0], G, sz)
+        # slab g covers global planes [g*G*sz - pz, g*G*sz - pz + s)
+        front = pz
+        back = (ngroups - 1) * G * sz - pz + s - zin
+        f = jnp.pad(zt.features, ((0, 0), (0, 0), (0, 0),
+                                  (front * cin, max(back, 0) * cin)))
+        slabs = jnp.stack([f[..., g * G * sz * cin:
+                             (g * G * sz + s) * cin]
+                           for g in range(ngroups)], axis=1)
+        y = jax.lax.conv_general_dilated(
+            slabs.reshape(b * ngroups, yy, xx, s * cin),
+            w2g.astype(zt.features.dtype), window_strides=(sy, sx),
+            padding=[(py, py), (px, px)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        oy, ox = y.shape[1], y.shape[2]
+        y = y.reshape(b, ngroups, oy, ox, G * out_channels)
+        y = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(
+            b, oy, ox, ngroups * G * out_channels)[..., :zout * out_channels]
+        _, zadj = _zfold_weight(weight, ks[0], zin, zout, sz, pz)
+    else:
+        w2, zadj = _zfold_weight(weight, ks[0], zin, zout, sz, pz)
+        y = jax.lax.conv_general_dilated(
+            zt.features, w2.astype(zt.features.dtype),
+            window_strides=(sy, sx), padding=[(py, py), (px, px)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return _zfold_finish(zt, y, zadj, ks, sy, sx, py, px, zout,
+                         out_channels, subm)
+
+
+def _zfold_finish(zt: ZFoldTensor, y: jax.Array, zadj: jax.Array, ks,
+                  sy: int, sx: int, py: int, px: int, zout: int,
+                  out_channels: int, subm: bool) -> ZFoldTensor:
+    """Shared zfold_conv tail: occupancy propagation + output masking."""
     if subm:
         occ = zt.occ
     else:

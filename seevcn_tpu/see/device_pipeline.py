@@ -165,8 +165,11 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
     # two-stage compaction: a SINGLE any-member pass over the full P first
     # (the per-instance (D, P) cumsum was measured at ~47 ms at bench
     # shapes regardless of formulation), then the per-instance ranking
-    # runs over only the candidate subset
-    cand_cap = min(p, 2 * d * m if d * m < 1 << 16 else 1 << 16)
+    # runs over only the candidate subset. The 32k candidate cap bounds
+    # the (D, cand) rank-cumsum + scatter (the stage's cost driver,
+    # ~18 ms at 64k); masks covering more than 32k distinct points
+    # truncate the highest-index (furthest-in-scan) members.
+    cand_cap = min(p, 2 * d * m if d * m < 1 << 15 else 1 << 15)
     anybit = membership.any(axis=0)                          # (P,)
     (cand,) = jnp.nonzero(anybit, size=cand_cap, fill_value=-1)
     cvalid = cand >= 0
@@ -190,7 +193,10 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
         rng_ = jnp.linalg.norm(centroid)
         eps = jnp.clip(eps_scaling * rng_ * jnp.tan(
             jnp.deg2rad(vres_deg)), min_eps, max_eps)
-        labels = dbscan(pts, eps, min_points=3, valid=iv)
+        # 8 propagation rounds: pointer jumping reaches 2^8-hop chains,
+        # far beyond a car-sized cluster at eps >= 0.3 m (each round
+        # re-reads the (m, m) adjacency, so rounds are the cost driver)
+        labels = dbscan(pts, eps, min_points=3, valid=iv, n_iters=8)
         cmask = largest_cluster_mask(labels) & iv
         ok = cmask.sum() > min_cluster
         out, _ = tile_to_n(pts, cmask, out_pts)
@@ -201,19 +207,45 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
 
 def replace_with_completed(points: jax.Array, valid: jax.Array,
                            completed: jax.Array, inst_valid: jax.Array,
-                           point_dist_thresh: float = 0.1):
+                           point_dist_thresh: float = 0.1,
+                           cand_cap: int = 32768):
     """Splice completed surfaces into the frame cloud, fixed shape.
 
     points (P, 3), completed (D, K, 3), inst_valid (D,) ->
     ((P + D*K, 3) cloud, (P + D*K,) validity): original points within
     ``point_dist_thresh`` of any completed point are dropped
     (SEE_VCN.py:247-265) and the completed points appended.
+
+    Only points inside some instance's (AABB + thresh) can be dropped, so
+    the min-distance sweep runs on that compacted subset (~20x fewer
+    queries at scene scale) instead of the full cloud — the full-cloud
+    Pallas sweep measured 27 ms at 150k x 33k; AABB tile-pruning inside
+    the kernel could not help because a scan's query tiles span the whole
+    scene. ``cand_cap`` bounds the subset; on overflow the excess points
+    are conservatively KEPT (never wrongly dropped).
     """
     d, k, _ = completed.shape
+    p = points.shape[0]
     flat = completed.reshape(d * k, 3)
     flat_valid = jnp.repeat(inst_valid, k)
-    near = within_radius_mask(points[:, :3], flat, point_dist_thresh,
-                              b_valid=flat_valid)
+    if p > 4 * cand_cap:
+        r = point_dist_thresh
+        lo = jnp.where(inst_valid[:, None],
+                       completed.min(axis=1) - r, jnp.inf)     # (D, 3)
+        hi = jnp.where(inst_valid[:, None],
+                       completed.max(axis=1) + r, -jnp.inf)
+        in_box = ((points[:, None, :3] >= lo[None]) &
+                  (points[:, None, :3] <= hi[None])).all(-1)   # (P, D)
+        (cand,) = jnp.nonzero(in_box.any(axis=1) & valid, size=cand_cap,
+                              fill_value=-1)
+        cok = cand >= 0
+        sub = points[jnp.maximum(cand, 0), :3]
+        near_sub = within_radius_mask(sub, flat, r, b_valid=flat_valid)
+        near = jnp.zeros((p,), bool).at[jnp.maximum(cand, 0)].max(
+            near_sub & cok)
+    else:
+        near = within_radius_mask(points[:, :3], flat, point_dist_thresh,
+                                  b_valid=flat_valid)
     new_pts = jnp.concatenate([points[:, :3], flat], axis=0)
     new_valid = jnp.concatenate([valid & ~near, flat_valid])
     return new_pts, new_valid

@@ -35,10 +35,15 @@ class TrainState(flax.struct.PyTreeNode):
 
 def create_train_state(model, variables, opt_cfg, total_steps: int) -> TrainState:
     tx = build_optimizer(opt_cfg, total_steps)
+    # own fresh buffers: the train steps donate the state, and aliasing
+    # the caller's ``variables`` would delete them out from under it on
+    # the first step
+    params = jax.tree.map(jnp.copy, variables["params"])
+    stats = jax.tree.map(jnp.copy, variables.get("batch_stats", {}))
     return TrainState(step=jnp.zeros((), jnp.int32),
-                      params=variables["params"],
-                      batch_stats=variables.get("batch_stats", {}),
-                      opt_state=tx.init(variables["params"]),
+                      params=params,
+                      batch_stats=stats,
+                      opt_state=tx.init(params),
                       tx=tx)
 
 
@@ -72,7 +77,12 @@ def shard_train_step(model, mesh=None):
     """Sharded train step: batch over 'dp', state replicated, BEV spatial
     axis over 'mp' (constrain_bev inside the model; XLA inserts the conv
     halo exchanges). The gradient psum (DDP allreduce equivalent) is
-    inserted by XLA."""
+    inserted by XLA.
+
+    The state argument is DONATED (its HBM is reused for the updated
+    state). Do not read the passed-in state afterwards — including any
+    array that aliases it: device_put(state, replicated(mesh)) may share
+    the original device-0 buffer with its source."""
     from ..parallel.mesh import set_active_mesh
 
     mesh = mesh or make_mesh()
@@ -88,4 +98,4 @@ def shard_train_step(model, mesh=None):
             set_active_mesh(prev)
 
     return jax.jit(with_mesh, in_shardings=(rep, bsh, bsh, bsh, rep),
-                   out_shardings=(rep, rep)), mesh
+                   out_shardings=(rep, rep), donate_argnums=(0,)), mesh

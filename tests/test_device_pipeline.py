@@ -120,3 +120,22 @@ def test_mask_membership_canvas_matches_bilinear():
     agree = (m_bil == m_can).mean()
     assert agree > 0.98, agree
     assert m_can.any()                      # canvas path actually selects
+
+
+def test_replace_compacted_path_matches_bruteforce():
+    """The AABB-compacted candidate path == the full sweep (small
+    cand_cap forces the compacted branch; cand_cap=P forces brute)."""
+    rng = np.random.RandomState(7)
+    pts = rng.uniform(-30, 30, (4096, 3)).astype(np.float32)
+    valid = rng.rand(4096) > 0.1
+    centers = rng.uniform(-25, 25, (4, 3)).astype(np.float32)
+    completed = (centers[:, None, :] +
+                 rng.uniform(-1.5, 1.5, (4, 64, 3))).astype(np.float32)
+    iv = np.array([True, True, False, True])
+    _, nv_fast = DP.replace_with_completed(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(completed),
+        jnp.asarray(iv), cand_cap=512)
+    _, nv_ref = DP.replace_with_completed(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(completed),
+        jnp.asarray(iv), cand_cap=4096)
+    np.testing.assert_array_equal(np.asarray(nv_fast), np.asarray(nv_ref))

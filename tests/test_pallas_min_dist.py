@@ -51,3 +51,34 @@ def test_gram_form_with_invalid_rows():
     got = float(min_sqdist(a, b, b_valid=valid, interpret=True,
                            form="gram")[0])
     np.testing.assert_allclose(got, 25.0, atol=1e-2)
+
+
+def test_pruned_form_exact_within_radius():
+    """prune_radius: distances <= radius^2 must be exact; farther queries
+    may read the 1e18 sentinel but must never pass a within-radius test."""
+    rng = np.random.RandomState(3)
+    # queries spread wide, supports clustered (the replacement-stage shape)
+    a = rng.uniform(-50, 50, (2500, 3)).astype(np.float32)
+    centers = rng.uniform(-40, 40, (4, 3)).astype(np.float32)
+    b = (centers[:, None, :] + rng.uniform(-2, 2, (4, 300, 3))
+         ).reshape(-1, 3).astype(np.float32)
+    r = 0.8
+    got = np.asarray(min_sqdist(jnp.asarray(a), jnp.asarray(b),
+                                interpret=True, prune_radius=r))
+    ref = np.asarray(min_sqdist_reference(jnp.asarray(a), jnp.asarray(b)))
+    got_in, ref_in = got <= r * r, ref <= r * r
+    assert (got_in == ref_in).all()
+    np.testing.assert_allclose(got[ref_in], ref[ref_in], atol=1e-4)
+    # pruned-away rows only ever read HIGHER than the truth (up to f32
+    # rounding of large squared distances)
+    assert (got >= ref * (1 - 1e-5) - 1e-4).all()
+
+
+def test_pruned_form_with_invalid_rows():
+    a = jnp.asarray([[10.0, 0, 0], [-30.0, 2, 1]])
+    b = jnp.asarray([[10.1, 0, 0], [15.0, 0, 0]])
+    valid = jnp.asarray([True, False])
+    got = np.asarray(min_sqdist(a, b, b_valid=valid, interpret=True,
+                                prune_radius=0.5))
+    np.testing.assert_allclose(got[0], 0.01, atol=1e-4)
+    assert got[1] > 0.25  # far query: pruned or huge, never within radius

@@ -223,3 +223,20 @@ def test_sector_fps_fewer_points_than_k():
     idx, ok = np.asarray(idx), np.asarray(ok)
     assert ok.sum() == 7                      # only 7 real picks
     assert valid[idx].all()                   # padding repeats a valid pick
+
+
+def test_grid_subsample_dedupes_cells():
+    pts = np.array([[0.0, 0, 0], [0.05, 0, 0],      # same 0.3-cell
+                    [5.0, 0, 0], [5.01, 0, 0],       # same cell
+                    [10.0, 3, 1]], np.float32)
+    valid = np.ones(5, bool)
+    idx, ok = S.grid_subsample(jnp.asarray(pts), jnp.asarray(valid), 0.3, 8)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    sel = sorted(idx[ok].tolist())
+    # one representative per cell, the LOWEST index each
+    assert sel == [0, 2, 4]
+    # invalid points never selected
+    valid[0] = False
+    idx, ok = S.grid_subsample(jnp.asarray(pts), jnp.asarray(valid), 0.3, 8)
+    sel = sorted(np.asarray(idx)[np.asarray(ok)].tolist())
+    assert sel == [1, 2, 4]

@@ -669,3 +669,38 @@ def test_col_zdec_conv_matches_banded():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gz_f), np.asarray(gb_f),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_zgroup_conv_matches_band():
+    """impl='zgroup' (z-slab batched conv2d) == impl='band' for every
+    backbone conv signature and several (zin, cout) combos."""
+    rng = np.random.RandomState(29)
+    cases = [
+        # (kernel, stride, padding, subm, cin, cout, dims)
+        (3, 1, 1, True, 5, 6, (7, 10, 12)),        # subm, tiny channels
+        (3, 1, 1, True, 16, 16, (27, 8, 9)),       # stage-1 shape (z=27)
+        (3, 2, 1, False, 16, 32, (27, 8, 9)),      # conv2_down
+        (3, 1, 1, True, 32, 32, (14, 8, 9)),       # stage-2 subm
+        (3, 2, (0, 1, 1), False, 64, 64, (7, 8, 9)),  # conv4_down (z pad 0)
+        ((3, 1, 1), (2, 1, 1), 0, False, 64, 128, (5, 8, 9)),  # conv_out
+    ]
+    for kernel, stride, padding, subm, cin, cout, dims in cases:
+        st, dense, occ = _random_sparse(rng, dims=dims, cin=cin,
+                                        density=0.25)
+        ks = SP._as3(kernel)
+        k = ks[0] * ks[1] * ks[2]
+        w = jnp.asarray(rng.randn(k, cin, cout).astype(np.float32) * 0.3)
+        zt = SP.to_zfold_tensor(st)
+        kw = dict(kernel_size=kernel, stride=stride, padding=padding,
+                  subm=subm)
+        ref = SP.zfold_conv(zt, w, cout, impl="band", **kw)
+        for impl in ("zgroup", "zblock"):
+            got = SP.zfold_conv(zt, w, cout, impl=impl, **kw)
+            assert got.z == ref.z and got.channels == ref.channels
+            np.testing.assert_allclose(np.asarray(got.features),
+                                       np.asarray(ref.features), atol=1e-4,
+                                       err_msg=str((impl, kernel, stride,
+                                                    padding, subm, cin,
+                                                    cout, dims)))
+            np.testing.assert_array_equal(np.asarray(got.occ),
+                                          np.asarray(ref.occ))

@@ -47,13 +47,16 @@ def test_train_step_8dev_mesh_matches_single():
                            train=False)
     state = create_train_state(model, variables, _opt_cfg(), total_steps=10)
 
+    plain_step = make_train_step(model, donate=False)
+    s_pl, m_pl = plain_step(state, pts, valid, gt, jax.random.PRNGKey(7))
+
+    # sharded step runs AFTER the plain one: it donates its state, and
+    # device_put(state, replicated) may share the original device-0
+    # buffer, so `state` must not be read again afterwards
     sharded_step, mesh = shard_train_step(model)
     state_r = jax.device_put(state, replicated(mesh))
     b_pts, b_valid, b_gt = shard_batch(mesh, (pts, valid, gt))
     s_sh, m_sh = sharded_step(state_r, b_pts, b_valid, b_gt, jax.random.PRNGKey(7))
-
-    plain_step = make_train_step(model, donate=False)
-    s_pl, m_pl = plain_step(state, pts, valid, gt, jax.random.PRNGKey(7))
 
     np.testing.assert_allclose(float(m_sh["loss"]), float(m_pl["loss"]),
                                rtol=2e-3, atol=2e-3)
