@@ -40,11 +40,17 @@ def main():
         k = k3[0] * k3[1] * k3[2]
         w = jnp.asarray(rng.randn(k, cin, cout).astype(np.float32) * 0.1)
         row = {}
-        for impl in ("band", "zblock", "zgroup"):
-            f = jax.jit(lambda ft, w_, impl=impl: SP.zfold_conv(
+        if "--sweep-g" in sys.argv:
+            variants = [("band", "band", None)] + [
+                (f"zb{g}", "zblock", g) for g in (4, 6, 8, 14, 16, 30)]
+        else:
+            variants = [("band", "band", None), ("zblock", "zblock", None),
+                        ("zgroup", "zgroup", None)]
+        for vname, impl, g in variants:
+            f = jax.jit(lambda ft, w_, impl=impl, g=g: SP.zfold_conv(
                 zt._replace(features=ft), w_, cout, kernel_size=ks,
                 stride=st_, padding=pad, subm=subm,
-                impl=impl).features)
+                impl=impl, zblock_g=g).features)
             ins = [(feats + jnp.asarray(1e-4 * i, dtype), w)
                    for i in range(4)]
             out = f(*ins[0])
@@ -53,8 +59,8 @@ def main():
             for i in range(n_iters):
                 out = f(*ins[i % 4])
             float(np.asarray(out.astype(jnp.float32).sum()))
-            row[impl] = (time.time() - t0) / n_iters * 1e3
-            totals[impl] = totals.get(impl, 0.0) + row[impl]
+            row[vname] = (time.time() - t0) / n_iters * 1e3
+            totals[vname] = totals.get(vname, 0.0) + row[vname]
         print(f"{name:12s} " + "  ".join(
             f"{k_}={v:6.1f}ms" for k_, v in row.items()), flush=True)
     print("TOTAL        " + "  ".join(

@@ -179,7 +179,8 @@ def train(args=None, cfg=None, stream=None, quiet=False):
                      optax.adamw(sched, weight_decay=args.weight_decay))
     state = {"params": variables["params"],
              "batch_stats": variables.get("batch_stats", {}),
-             "opt": tx.init(variables["params"])}
+             "opt": tx.init(variables["params"]),
+             "it": jnp.zeros((), jnp.int32)}
     step_fn = make_seg2d_train_step(model, tx)
 
     if stream is None:
@@ -188,11 +189,23 @@ def train(args=None, cfg=None, stream=None, quiet=False):
             synthetic_stream(cfg, args.batch_size, args.seed)
     rng = jax.random.PRNGKey(args.seed)
 
+    # wire compression (decoded on device by the step — see
+    # make_seg2d_train_step): f16 images + bit-packed masks cut the
+    # per-step host->device transfer ~7x; the step key is folded from a
+    # device counter so rng uploads once
+    rng = jax.device_put(rng)
+
+    def pack(batch):
+        imgs, boxes, labels, valid, masks = batch
+        if masks.shape[-1] % 8 == 0:
+            masks = np.packbits(masks >= 0.5, axis=-1, bitorder="little")
+        return (imgs.astype(np.float16), boxes, labels, valid, masks)
+
     t0, metrics = time.time(), {}
     for it in range(args.steps):
-        batch = next(stream)
+        batch = pack(next(stream))
         state, metrics = step_fn(state, *(jnp.asarray(b) for b in batch),
-                                 jax.random.fold_in(rng, it))
+                                 rng)
         if not quiet and (it % args.log_every == 0 or it == args.steps - 1):
             loss = float(metrics["loss"])
             print(f"step {it:5d} loss {loss:.4f} "

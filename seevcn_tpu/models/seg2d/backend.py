@@ -37,11 +37,34 @@ def init_seg2d(model, rng=None):
 
 
 def make_seg2d_train_step(model, tx):
-    """Returns (state-dict, imgs, gts..., rng) -> (state-dict, metrics)."""
+    """Returns (state-dict, imgs, gts..., rng) -> (state-dict, metrics).
+
+    Host->device transfer through the tunneled TPU backend is the
+    bottleneck of this recipe (a float32 batch at 384x512 b8 is ~70 MB
+    per step at single-digit MB/s), so the step accepts wire-compressed
+    inputs and decodes ON DEVICE: float16 images (cast up to f32) and
+    bit-packed uint8 masks (unpacked with shifts; np.packbits
+    bitorder='little' layout). Full-precision inputs still work — the
+    decode is keyed on dtype/shape. The per-step RNG folds in a device
+    step counter (state['it']) so callers pass one constant key instead
+    of dispatching a fold_in per step."""
     import jax
+    import jax.numpy as jnp
     import optax
 
     def step(state, images, gt_boxes, gt_labels, gt_valid, gt_masks, rng):
+        if images.dtype != jnp.float32:
+            images = images.astype(jnp.float32)
+        if gt_masks.dtype == jnp.uint8 and \
+                gt_masks.shape[-1] * 8 == images.shape[-2]:
+            bits = (gt_masks[..., None] >>
+                    jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+            gt_masks = bits.reshape(*gt_masks.shape[:-1],
+                                    gt_masks.shape[-1] * 8)
+        gt_masks = gt_masks.astype(jnp.float32)
+        if "it" in state:      # else the caller folds per-step themselves
+            rng = jax.random.fold_in(rng, state["it"])
+
         def loss_fn(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state["batch_stats"]},
@@ -54,8 +77,11 @@ def make_seg2d_train_step(model, tx):
         (loss, (tb, stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])
         updates, opt = tx.update(grads, state["opt"], state["params"])
-        return {"params": optax.apply_updates(state["params"], updates),
-                "batch_stats": stats, "opt": opt}, {"loss": loss, **tb}
+        new = {"params": optax.apply_updates(state["params"], updates),
+               "batch_stats": stats, "opt": opt}
+        if "it" in state:
+            new["it"] = state["it"] + 1
+        return new, {"loss": loss, **tb}
 
     return jax.jit(step, donate_argnums=(0,))
 

@@ -555,7 +555,8 @@ def _zblock_blocks(zin: int, zout: int, cout: int, kz: int, sz: int,
 
 def zfold_conv(zt: ZFoldTensor, weight: jax.Array, out_channels: int,
                kernel_size=3, stride=1, padding=0,
-               subm: bool = False, impl: str = "auto") -> ZFoldTensor:
+               subm: bool = False, impl: str = "auto",
+               zblock_g: int | None = None) -> ZFoldTensor:
     """Sub-manifold or strided conv on the z-folded layout.
 
     impl='band': ONE conv2d with the full (Zin*Cin, Zout*Cout) banded
@@ -589,7 +590,7 @@ def zfold_conv(zt: ZFoldTensor, weight: jax.Array, out_channels: int,
         cout = out_channels
         ys = []
         for zo0, zo1, zi_lo, zi_hi in _zblock_blocks(
-                zin, zout, cout, ks[0], sz, pz):
+                zin, zout, cout, ks[0], sz, pz, g=zblock_g):
             ys.append(jax.lax.conv_general_dilated(
                 zt.features[..., zi_lo * cin:zi_hi * cin],
                 w2[:, :, zi_lo * cin:zi_hi * cin, zo0 * cout:zo1 * cout],

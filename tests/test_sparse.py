@@ -694,8 +694,9 @@ def test_zgroup_conv_matches_band():
         kw = dict(kernel_size=kernel, stride=stride, padding=padding,
                   subm=subm)
         ref = SP.zfold_conv(zt, w, cout, impl="band", **kw)
-        for impl in ("zgroup", "zblock"):
-            got = SP.zfold_conv(zt, w, cout, impl=impl, **kw)
+        for impl, g in (("zgroup", None), ("zblock", None), ("zblock", 3),
+                        ("zblock", 16)):
+            got = SP.zfold_conv(zt, w, cout, impl=impl, zblock_g=g, **kw)
             assert got.z == ref.z and got.channels == ref.channels
             np.testing.assert_allclose(np.asarray(got.features),
                                        np.asarray(ref.features), atol=1e-4,
