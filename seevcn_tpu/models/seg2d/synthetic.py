@@ -29,17 +29,25 @@ def _rounded_box_mask(h, w, x1, y1, x2, y2, r=0.0):
     return inside
 
 
-def draw_car(h, w, rng, scale=1.0, flip=False):
+def draw_car(h, w, rng, scale=1.0, flip=False, x0=None, y0=None, cw=None):
     """Car silhouette mask (h, w) + base color. Body box + trapezoid cabin +
-    two wheel ellipses, optionally mirrored."""
-    cw = int(rng.uniform(34, 60) * scale)          # car width (px)
+    two wheel ellipses, optionally mirrored. Placement (x0, y0) and pixel
+    width cw are randomized unless given (the 3D-consistent frame
+    generator pins them to a projected 3D pose)."""
+    if cw is None:
+        cw = int(rng.uniform(34, 60) * scale)      # car width (px)
     ch = int(cw * rng.uniform(0.35, 0.5))          # body height
     cabin_h = int(ch * rng.uniform(0.6, 0.9))
     wheel_r = max(int(ch * rng.uniform(0.28, 0.38)), 2)
 
     total_h = ch + cabin_h + wheel_r
-    x0 = rng.randint(0, max(w - cw - 1, 1))
-    y0 = rng.randint(int(h * 0.35), max(int(h - total_h - 1), int(h * 0.35) + 1))
+    if x0 is None:
+        x0 = rng.randint(0, max(w - cw - 1, 1))
+    if y0 is None:
+        y0 = rng.randint(int(h * 0.35),
+                         max(int(h - total_h - 1), int(h * 0.35) + 1))
+    x0 = int(np.clip(x0, 0, max(w - 4, 1)))
+    y0 = int(np.clip(y0, 0, max(h - 4, 1)))
 
     mask = np.zeros((h, w), bool)
     # body
@@ -160,3 +168,96 @@ def synth_batch(rng, image_size, batch, max_gt=8):
     h, w = image_size
     out = [synth_scene(h, w, rng, max_gt=max_gt) for _ in range(batch)]
     return tuple(np.stack(x) for x in zip(*out))
+
+
+def synth_frame3d(h, w, rng, n_cars=2, n_bg=3000, car_pts=350):
+    """3D-consistent synthetic frame: a camera image whose cars sit at the
+    PROJECTED location/scale of 3D car boxes, plus a lidar cloud sampled
+    from those boxes over a road background.
+
+    Purpose: measure the DET-path (trained seg2d masks) against the
+    GT-path (hull masks) through the same SEE pipeline — the reference's
+    config-1 vs config-2 comparison (see/SEE_VCN.py GT vs DET isolation)
+    needs frames where image and cloud agree geometrically.
+
+    KITTI-ish conventions: lidar x forward / y left / z up; camera
+    u = cx - f*y/x, v = cy - f*z/x (rect cam, lidar_to_cam
+    [[0,-1,0],[0,0,-1],[1,0,0]]).
+
+    Returns (img_norm (h, w, 3), pts (P, 3), gt_boxes (n_cars, 7),
+    calib dict(P2 (3, 4), lidar_to_cam (3, 3)), vis_masks
+    (n_cars, h, w) bool).
+    """
+    f = 0.62 * w
+    cx, cy = w / 2.0, 0.42 * h
+    P2 = np.array([[f, 0, cx, 0], [0, f, cy, 0], [0, 0, 1, 0]], np.float32)
+    l2c = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+
+    img = np.empty((h, w, 3), np.float32)
+    sky = rng.uniform(0.5, 0.9, 3)
+    road = rng.uniform(0.2, 0.45)
+    horizon = int(cy)
+    t = (np.arange(h) / h)[:, None, None]
+    img[:] = sky * (1 - 0.4 * t)
+    img[horizon:] = road + rng.uniform(-0.03, 0.03)
+    img += rng.normal(0, 0.03, (h, w, 3))
+
+    # 3D cars, far to near so nearer cars occlude in both image and order
+    depths = np.sort(rng.uniform(9.0, 30.0, n_cars))[::-1]
+    gt_boxes = np.zeros((n_cars, 7), np.float32)
+    drawn = []
+    pts_car = []
+    for i, d in enumerate(depths):
+        y = rng.uniform(-0.25, 0.25) * d * (w / (2 * f))  # keep in frame
+        z = -1.0
+        L, W, H = 4.2, 1.9, 1.6
+        yaw = rng.uniform(-0.4, 0.4) + (0.0 if rng.rand() < 0.5 else np.pi)
+        gt_boxes[i] = [d, y, z, L, W, H, yaw]
+        # projected footprint: center (u, v), pixel width ~ f*L/d
+        u = cx - f * y / d
+        v = cy - f * z / d
+        cw = max(int(f * L / d), 10)
+        car_h_px = int(cw * 0.62)            # body+cabin+wheels approx
+        m, c = draw_car(h, w, rng, flip=rng.rand() < 0.5,
+                        x0=int(u - cw / 2), y0=int(v - car_h_px * 0.78),
+                        cw=cw)
+        shade = 1.0 - 0.3 * (np.arange(h) / h)[:, None]
+        for ch_i in range(3):
+            img[..., ch_i] = np.where(m, c[ch_i] * shade, img[..., ch_i])
+        drawn.append(m)
+        # lidar points on the box (camera-facing surface bias: front half)
+        local = rng.uniform(-0.5, 0.5, (car_pts, 3)) * [L, W, H]
+        # push to the shell: snap the largest normalized coord to the face
+        nrm = np.abs(local / [L, W, H])
+        face = nrm.argmax(1)
+        sgn = np.sign(local[np.arange(car_pts), face])
+        dims = np.array([L, W, H])
+        local[np.arange(car_pts), face] = sgn * dims[face] / 2
+        ca, sa = np.cos(yaw), np.sin(yaw)
+        R = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]])
+        pts_car.append(local @ R.T + [d, y, z])
+
+    # visible masks (later/nearer cars occlude earlier/farther)
+    vis_masks = np.zeros((n_cars, h, w), bool)
+    for i, m in enumerate(drawn):
+        vis = m.copy()
+        for mj in drawn[i + 1:]:
+            vis &= ~mj
+        vis_masks[i] = vis
+
+    # background: road plane + clutter columns
+    bg = np.empty((n_bg, 3), np.float32)
+    nroad = int(n_bg * 0.8)
+    bg[:nroad, 0] = rng.uniform(3, 45, nroad)
+    bg[:nroad, 1] = rng.uniform(-12, 12, nroad)
+    bg[:nroad, 2] = -1.75 + rng.normal(0, 0.03, nroad)
+    bg[nroad:, 0] = rng.uniform(4, 40, n_bg - nroad)
+    bg[nroad:, 1] = rng.uniform(-10, 10, n_bg - nroad)
+    bg[nroad:, 2] = rng.uniform(-1.5, 1.5, n_bg - nroad)
+    pts = np.vstack([bg] + pts_car).astype(np.float32)
+
+    img = np.clip(img, 0, 1)
+    from .backend import IMAGENET_MEAN, IMAGENET_STD
+
+    img = ((img - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+    return img, pts, gt_boxes, {"P2": P2, "lidar_to_cam": l2c}, vis_masks

@@ -162,3 +162,58 @@ def test_packed_wire_step_matches_full_precision():
               jax.tree_util.tree_leaves(s_w["params"])[0])
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=5e-3,
                                atol=5e-4)
+
+
+@pytest.mark.slow
+def test_maskpath_impact_harness(tmp_path):
+    """The DET-vs-GT mask-path comparison harness runs both paths through
+    the device SEE pipeline on 3D-consistent frames and produces finite
+    metrics (the judged numbers come from a long-trained checkpoint;
+    this pins the machinery)."""
+    from seevcn_tpu.cli.train_seg2d import parse_args, train
+    from seevcn_tpu.models.seg2d.backend import save_seg2d_checkpoint
+    from scripts.measure_maskpath_impact import (build_pipeline,
+                                                 chamfer_np,
+                                                 in_box_fraction)
+    import jax.numpy as jnp
+
+    from seevcn_tpu.models.seg2d.synthetic import synth_frame3d
+
+    rng = np.random.RandomState(3)
+    img, pts, gt_boxes, calib, vis_masks = synth_frame3d(96, 128, rng)
+    assert pts.ndim == 2 and gt_boxes.shape[1] == 7
+    # car points must project inside the union of drawn masks
+    car = pts[-700:]
+    cam = car @ calib["lidar_to_cam"].T
+    uv = (calib["P2"][:2, :3] @ cam.T / cam.T[2]).T
+    u = np.clip(uv[:, 0].astype(int), 0, 127)
+    v = np.clip(uv[:, 1].astype(int), 0, 95)
+    # (0.97+ at 384x512; the 96x128 rendering is coarser)
+    assert vis_masks.any(0)[v, u].mean() > 0.7
+
+    pipe = build_pipeline()
+    D, P = 8, 56
+    boxes = np.zeros((D, 4), np.float32)
+    patches = np.zeros((D, P, P), np.float32)
+    scores = np.zeros((D,), np.float32)
+    import cv2
+    for i, m in enumerate(vis_masks[:D]):
+        ys, xs = np.nonzero(m)
+        if not len(xs):
+            continue
+        x1, y1, x2, y2 = xs.min(), ys.min(), xs.max() + 1, ys.max() + 1
+        boxes[i] = [x1, y1, x2, y2]
+        patches[i] = cv2.resize(m[y1:y2, x1:x2].astype(np.float32), (P, P))
+        scores[i] = 1.0
+    out = pipe(jnp.asarray(pts), jnp.asarray(np.ones(len(pts), bool)),
+               jnp.asarray(calib["P2"]), jnp.asarray(calib["lidar_to_cam"]),
+               jnp.asarray(boxes), jnp.asarray(patches),
+               jnp.asarray(scores), (96, 128))
+    member = np.asarray(out[0])
+    # GT-path membership must catch most car points
+    assert member.any(0)[-700:].mean() > 0.5
+    new_pts, new_valid = np.asarray(out[4]), np.asarray(out[5])
+    added = new_pts[len(pts):][new_valid[len(pts):]]
+    assert np.isfinite(chamfer_np(added[:50], pts[-100:]))
+    assert np.isfinite(in_box_fraction(pts[-700:], gt_boxes))
+    assert in_box_fraction(pts[-700:], gt_boxes) > 0.95
