@@ -162,6 +162,8 @@ def main():
     iso, ok, _ = see_stage(jp[0], jv[0], boxes, masks, scores)
     completed, _ = vcn_stage(vcn_vars, iso)
     new_pts, new_valid, _ = replace_stage(jp[0], jv[0], completed, ok)
+    det_in = [perturb(new_pts[None], 1e-4 * i) for i in range(n_iters)]
+    _ = float(np.asarray(det_in[-1][0, 0, 2]))
     for name, fn, inputs in (
         ("masks", lambda i: mask_stage(seg_vars, img_inputs[i])[2],
          None),
@@ -170,7 +172,9 @@ def main():
         ("vcn", lambda i: vcn_stage(vcn_vars, iso + 1e-4 * i)[1], None),
         ("replace", lambda i: replace_stage(det_inputs[i][0], jv[0],
                                             completed, ok)[2], None),
-        ("detector", lambda i: det_stage(variables, new_pts[None],
+        # distinct pre-built buffers like every other stage: identical
+        # arguments must never be re-timed (runtime result caching)
+        ("detector", lambda i: det_stage(variables, det_in[i % len(det_in)],
                                          new_valid[None])[1], None),
     ):
         out = fn(0)

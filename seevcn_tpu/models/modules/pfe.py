@@ -64,9 +64,17 @@ class SALayer(nn.Module):
         outs = []
         # one hash table per support set, shared by every radius: the
         # build (an argsort over N) dominates a grid ball query, so cell
-        # = max(radii) and each radius only re-runs the cheap probe phase
+        # = max(radii) and each radius only re-runs the cheap probe phase.
+        # Capacity must be sized for the CELL, not the smallest query:
+        # a max-radius cell holds ~(max_r/min_r)^2 more surface-scan
+        # points than a min-radius cell, and bucket overflow drops the
+        # highest-index members — which a small-radius query may need
+        # for its first-N-by-index contract. Scale by the area ratio
+        # (lidar points lie on ~2D surfaces), clamped for table memory.
         shared_cell = float(max(self.radii))
-        shared_cap = max(2 * max(int(n) for n in self.nsamples), 32)
+        ratio2 = (shared_cell / max(float(min(self.radii)), 1e-3)) ** 2
+        shared_cap = int(min(max(2 * max(int(n) for n in self.nsamples)
+                                 * max(ratio2, 1.0), 64), 512))
         use_grid = support_xyz.shape[1] >= _GRID_BQ_MIN_SUPPORT
         if use_grid:
             tables = jax.vmap(lambda s, v: build_grid_table(

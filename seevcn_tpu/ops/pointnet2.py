@@ -7,7 +7,11 @@ queries: supports carry a validity mask instead of per-frame row counts.
 
 Ball query semantics match the CUDA kernel: for each query point take the
 FIRST ``nsample`` support points (by index order) within ``radius``; if none
-exist the group is empty (mask all-false).
+exist the group is empty (mask all-false). On TPU the first-N selection
+runs through ``approx_max_k`` (recall 0.95), which may swap a few of the
+first-N members for other IN-RADIUS points — never an out-of-radius one;
+non-TPU backends lower it to the exact sort. Bucket overflow in the grid
+path has the same in-radius-only failure mode (see grid_ball_query).
 """
 from __future__ import annotations
 
@@ -18,13 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sampling import pairwise_sqdist
+from .sampling import cell_hash, pairwise_sqdist
 
 
 #: dense ball query switches to the hash-grid path above this support size
 _GRID_BQ_MIN_SUPPORT = 16384
 _HASH_T = 1 << 16          # hash buckets
-_HASH_CAP = 96             # points kept per bucket (first-by-index)
 
 
 def ball_query(new_xyz: jax.Array, support_xyz: jax.Array, radius: float,
@@ -80,13 +83,6 @@ def _dense_ball_query(new_xyz: jax.Array, support_xyz: jax.Array,
     return idxs.reshape(-1, nsample)[:k], valids.reshape(-1, nsample)[:k]
 
 
-def _cell_hash(c: jax.Array, t: int) -> jax.Array:
-    """(..., 3) int32 cell coords -> bucket id in [0, t)."""
-    p1, p2, p3 = 73856093, 19349663, 83492791
-    h = (c[..., 0] * p1) ^ (c[..., 1] * p2) ^ (c[..., 2] * p3)
-    return jnp.abs(h) % t
-
-
 class HashGridTable(NamedTuple):
     """Hash-grid of support points: (T, cap) first-by-index member ids +
     their xyz, cell size >= every radius that will query it."""
@@ -114,7 +110,7 @@ def build_grid_table(support_xyz: jax.Array, cell,
                                jnp.inf), axis=0)
     origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
     sc = jnp.floor((support_xyz[:, :3] - origin) / cell_).astype(jnp.int32)
-    h = jnp.where(support_valid, _cell_hash(sc, table_size),
+    h = jnp.where(support_valid, cell_hash(sc, table_size),
                   jnp.int32(table_size))
 
     # stable sort by bucket: within-bucket order == support index order
@@ -152,7 +148,7 @@ def grid_ball_query_table(table: HashGridTable, new_xyz: jax.Array,
                                             indexing="ij"),
                                 axis=-1).reshape(27, 3), jnp.int32)
     qc = jnp.floor((new_xyz[:, :3] - table.origin) / cell_).astype(jnp.int32)
-    qh = _cell_hash(qc[:, None, :] + offs[None], table_size)   # (K, 27)
+    qh = cell_hash(qc[:, None, :] + offs[None], table_size)   # (K, 27)
     # distinct probed cells can hash-collide onto the SAME bucket; keep
     # only the first probe of each bucket or its points duplicate
     dup = (qh[:, :, None] == qh[:, None, :]) & \

@@ -132,6 +132,16 @@ def resample_points(points: jax.Array, valid: jax.Array, n: int, rng: jax.Array 
     return out
 
 
+def cell_hash(c: jax.Array, t: int) -> jax.Array:
+    """(..., 3) int32 cell coords -> bucket id in [0, t). The single
+    spatial-hash scheme shared by grid_subsample and the pointnet2
+    hash-grid ball query (one implementation so bucketing can never
+    drift between them)."""
+    p1, p2, p3 = 73856093, 19349663, 83492791
+    h = (c[..., 0] * p1) ^ (c[..., 1] * p2) ^ (c[..., 2] * p3)
+    return jnp.abs(h) % t
+
+
 @partial(jax.jit, static_argnames=("max_out", "table_size"))
 def grid_subsample(points: jax.Array, valid: jax.Array, cell,
                    max_out: int, table_size: int = 1 << 18):
@@ -146,13 +156,12 @@ def grid_subsample(points: jax.Array, valid: jax.Array, cell,
     occupied cells truncate in hash order — both benign for sampling.
     """
     n = points.shape[0]
-    p1, p2, p3 = 73856093, 19349663, 83492791
     origin = jnp.min(jnp.where(valid[:, None], points[:, :3], jnp.inf),
                      axis=0)
     origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
     c = jnp.floor((points[:, :3] - origin) /
                   jnp.maximum(cell, 1e-3)).astype(jnp.int32)
-    h = jnp.abs((c[:, 0] * p1) ^ (c[:, 1] * p2) ^ (c[:, 2] * p3)) % table_size
+    h = cell_hash(c, table_size)
     h = jnp.where(valid, h, jnp.int32(table_size))
     big = jnp.int32(n)
     slot = jnp.full((table_size + 1,), big, jnp.int32).at[h].min(

@@ -123,9 +123,11 @@ def mask_membership(points: jax.Array, valid: jax.Array, proj: jax.Array,
         canvas = rasterize_masks(det_boxes, det_masks, det_scores,
                                  image_size, score_thresh, mask_thresh)
         h, w = image_size
-        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
-        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
-        in_img = (u >= -0.5) & (u <= w - 0.5) & (v >= -0.5) & (v <= h - 0.5)
+        # floor, not round: the reference indexes mask[int(v), int(u)]
+        # (shared_utils.py:113-115) — truncation semantics
+        ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 1)
+        in_img = (u >= 0) & (u < w) & (v >= 0) & (v < h)
         bits = canvas[vi, ui]                                  # (P,) int32
         ok = in_front & valid & in_img
         d = det_masks.shape[0]
@@ -165,11 +167,15 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
     # two-stage compaction: a SINGLE any-member pass over the full P first
     # (the per-instance (D, P) cumsum was measured at ~47 ms at bench
     # shapes regardless of formulation), then the per-instance ranking
-    # runs over only the candidate subset. The 32k candidate cap bounds
-    # the (D, cand) rank-cumsum + scatter (the stage's cost driver,
-    # ~18 ms at 64k); masks covering more than 32k distinct points
-    # truncate the highest-index (furthest-in-scan) members.
-    cand_cap = min(p, 2 * d * m if d * m < 1 << 15 else 1 << 15)
+    # runs over only the candidate subset. The cap bounds the (D, cand)
+    # rank-cumsum + scatter (the stage's cost driver, ~18 ms at 64k).
+    # It must cover the D*m per-instance budget: jnp.nonzero truncates
+    # by point index (scan order), so an undersized cap can zero out a
+    # late-in-scan instance ENTIRELY in crowded frames (a 32k cap was
+    # measured ~11 ms faster but silently drops instances once mask
+    # unions exceed it; correctness wins).
+    cand_cap = min(p, max(2 * d * m, 1 << 12) if d * m < 1 << 16
+                   else 1 << 16)
     anybit = membership.any(axis=0)                          # (P,)
     (cand,) = jnp.nonzero(anybit, size=cand_cap, fill_value=-1)
     cvalid = cand >= 0

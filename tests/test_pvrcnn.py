@@ -327,6 +327,27 @@ def test_pvrcnn_plusplus_spc_sampling():
     assert np.isfinite(float(loss))
 
 
+def _assert_ball_query_close(gi, gv, di, dv, sup, q, radius, valid=None):
+    """Exact first-N equality on CPU (approx_max_k lowers to the exact
+    sort there); on TPU recall-0.95 selection may swap in-radius members
+    between the two paths, so assert the contract instead: every
+    selected support is valid + in radius, and the selected sets overlap
+    >= 90% per query."""
+    gi, gv = np.asarray(gi), np.asarray(gv)
+    di, dv = np.asarray(di), np.asarray(dv)
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(gv, dv)
+        np.testing.assert_array_equal(gi[gv], di[dv])
+        return
+    d = np.linalg.norm(sup[gi] - q[:, None], axis=-1)
+    assert (d[gv] <= radius + 1e-4).all()
+    if valid is not None:
+        assert valid[gi[gv]].all()
+    inter = sum(len(set(a[m]) & set(b[n]))
+                for a, m, b, n in zip(gi, gv, di, dv))
+    assert inter >= 0.9 * max(dv.sum(), 1)
+
+
 def test_grid_ball_query_matches_dense():
     """Hash-grid ball query == dense first-N-by-index semantics
     (the CUDA ball_query contract) on random clouds, incl. masks."""
@@ -341,10 +362,7 @@ def test_grid_ball_query_matches_dense():
                                  radius, ns, jnp.asarray(valid))
         di, dv = _dense_ball_query(jnp.asarray(q), jnp.asarray(sup),
                                    radius, ns, jnp.asarray(valid))
-        gi, gv = np.asarray(gi), np.asarray(gv)
-        di, dv = np.asarray(di), np.asarray(dv)
-        np.testing.assert_array_equal(gv, dv)
-        np.testing.assert_array_equal(gi[gv], di[dv])
+        _assert_ball_query_close(gi, gv, di, dv, sup, q, radius, valid)
 
 
 def test_grid_ball_query_dispatch_threshold():
@@ -359,6 +377,4 @@ def test_grid_ball_query_dispatch_threshold():
     q = sup[rng.choice(n, 64, replace=False)] + 0.05
     gi, gv = ball_query(jnp.asarray(q), jnp.asarray(sup), 0.5, 8)
     di, dv = _dense_ball_query(jnp.asarray(q), jnp.asarray(sup), 0.5, 8)
-    np.testing.assert_array_equal(np.asarray(gv), np.asarray(dv))
-    np.testing.assert_array_equal(np.asarray(gi)[np.asarray(gv)],
-                                  np.asarray(di)[np.asarray(dv)])
+    _assert_ball_query_close(gi, gv, di, dv, sup, q, 0.5)
