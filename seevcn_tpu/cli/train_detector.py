@@ -105,6 +105,7 @@ def main(argv=None):
     loader = BackgroundLoader(dataset, batch_size, num_workers=4,
                               seed=start_epoch)
     for ep in range(start_epoch, epochs):
+        dataset.set_epoch(ep)       # fresh per-sample draws (sweeps etc.)
         # pre-split per-epoch aug keys once: per-step key creation is a tiny
         # device op whose dispatch dwarfs the train step on remote backends
         aug_keys = jax.random.split(jax.random.fold_in(rng, ep),

@@ -52,6 +52,7 @@ class DatasetTemplate:
                                             np.float32)
         self.max_points = max_points
         self.max_boxes = max_boxes
+        self._epoch = 0
         self.point_feature_encoder = PointFeatureEncoder(
             dataset_cfg.POINT_FEATURE_ENCODING) if \
             dataset_cfg.get("POINT_FEATURE_ENCODING") else None
@@ -89,6 +90,12 @@ class DatasetTemplate:
         self.shift_coor = dataset_cfg.get("SHIFT_COOR", None)
 
     # ------------------------------------------------------------------ #
+    def set_epoch(self, epoch: int):
+        """Folds the epoch into per-sample randomness (sweep selection
+        etc.) so training sees fresh draws each epoch while eval stays
+        reproducible. The train loop calls this at each epoch start."""
+        self._epoch = int(epoch)
+
     def prepare_frame(self, points: np.ndarray, gt_boxes=None, gt_names=None,
                       rng_seed: int = 0):
         """points (N, C) + optional gt -> fixed-shape dict (numpy)."""

@@ -13,6 +13,7 @@ from __future__ import annotations
 import copy
 import os
 import pickle
+import zlib
 
 import numpy as np
 
@@ -97,12 +98,13 @@ class _InfosDataset(DatasetTemplate):
         return out
 
     # ---------------- evaluation (KITTI-protocol over lidar boxes) --------
-    def _kitti_protocol_eval(self, det_annos, class_names):
+    def _kitti_protocol_eval(self, det_annos, class_names, name_map=None):
         if not self.infos or ("annos" not in self.infos[0]
                               and "gt_boxes" not in self.infos[0]):
             return None, {}
-        name_map = {c: c.capitalize() if c.islower() else c
-                    for c in list(class_names) + ["car"]}
+        if name_map is None:
+            name_map = {c: c.capitalize() if c.islower() else c
+                        for c in list(class_names) + ["car"]}
         gt_annos = []
         for info in self.infos:
             a = copy.deepcopy(info.get("annos", {
@@ -130,7 +132,9 @@ class _InfosDataset(DatasetTemplate):
         transform_annotations_to_kitti_format(
             gt_annos, name_map,
             info_with_fakelidar=self.dataset_cfg.get("INFO_WITH_FAKELIDAR", False))
-        classes = tuple(name_map[c] for c in class_names)
+        # order-preserving dedupe: a many-to-one map (Lyft bicycle +
+        # motorcycle -> Cyclist) must score the merged pool once
+        classes = tuple(dict.fromkeys(name_map[c] for c in class_names))
         return get_official_eval_result(gt_annos, det, classes=classes)
 
     def evaluation(self, det_annos, class_names, **kw):
@@ -250,13 +254,18 @@ class NuScenesDataset(_InfosDataset):
             return points
         pts_list = [points]
         times = [np.zeros((len(points), 1), points.dtype)]
-        # fresh draw per call (reference nuscenes_dataset.py:97 uses
-        # np.random.choice) via a dataset-owned rng — a constant-seeded
-        # RandomState here would pick the SAME sweep subset for every
-        # frame and epoch (ADVICE r2, low)
-        if not hasattr(self, "_sweep_rng"):
-            self._sweep_rng = np.random.RandomState(20260817)
-        for k in self._sweep_rng.choice(
+        # per-sample seed (token hash): varied ACROSS frames like the
+        # reference's np.random.choice (nuscenes_dataset.py:97) but
+        # reproducible per frame — a process-global stateful rng would
+        # make eval sweep subsets depend on iteration order and replay
+        # identically in every forked worker. set_epoch() folds the
+        # epoch in so training still sees fresh subsets per epoch.
+        token = str(info.get("token", info.get("lidar_path", "")))
+        seed = (zlib.crc32(token.encode())        # str hash() is salted
+                ^ (0x9E3779B9 * (getattr(self, "_epoch", 0) + 1))
+                ) & 0x7FFFFFFF
+        rng = np.random.RandomState(seed)
+        for k in rng.choice(
                 len(sweeps), min(max_sweeps - 1, len(sweeps)), replace=False):
             p, t = self.get_sweep(sweeps[k])
             pts_list.append(p)
@@ -343,7 +352,13 @@ class LyftDataset(NuScenesDataset):
             return lyft_eval(det, gt_annos, list(class_names),
                              iou_thresholds=self.dataset_cfg.get(
                                  "EVAL_LYFT_IOU_LIST"))
-        return self._kitti_protocol_eval(det_annos, class_names)
+        # KITTI protocol with the reference's Lyft->KITTI name merge
+        # (lyft_dataset.py:154-160: bicycle + motorcycle -> Cyclist)
+        name_map = {c: self.MAP_NAME_TO_KITTI.get(
+            c, c.capitalize() if c.islower() else c)
+            for c in list(class_names) + ["car"]}
+        return self._kitti_protocol_eval(det_annos, class_names,
+                                         name_map=name_map)
 
 
 class SCLyftDataset(LyftDataset):

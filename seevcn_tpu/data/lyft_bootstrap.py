@@ -51,6 +51,15 @@ def create_lyft_infos(root_path: str, version: str = "trainval",
                     if n in name_to_token}
     if not train_names:           # no split files: everything trains
         train_scenes = set(name_to_token.values())
+    elif is_test:
+        # test mode writes ONLY the test pkl: scenes in the tables but
+        # missing from test.txt would be routed to val and silently
+        # dropped — surface that instead
+        missing = set(name_to_token.values()) - train_scenes
+        if missing:
+            logger(f"WARNING: {len(missing)} scenes present in the tables "
+                   f"but absent from ImageSets/test.txt are EXCLUDED from "
+                   f"lyft_infos_test.pkl")
     # everything else lands in val (the reference routes train-else-val)
     val_scenes = set(name_to_token.values()) - train_scenes
 

@@ -244,6 +244,14 @@ class VoxelSetAbstraction(nn.Module):
         vs = jnp.asarray(self.voxel_size)
 
         # --- keypoints: per-frame (sector-)FPS over raw points -------------
+        if cfg.get("SAMPLE_METHOD", "FPS") == "SPC" and rois is None:
+            # the detector never passed proposals (plain PV-RCNN /
+            # VoxelRCNN topology) — erroring beats silently training
+            # with FPS keypoints under an SPC config
+            raise ValueError(
+                "PFE SAMPLE_METHOD: SPC requires a detector that feeds "
+                "rois into the PFE (PV-RCNN++ topology); this detector "
+                "passed none — use SAMPLE_METHOD: FPS or a ++ config")
         if cfg.get("SAMPLE_METHOD", "FPS") == "SPC" and rois is not None:
             spc = cfg["SPC_SAMPLING"]
             radius = float(spc["SAMPLE_RADIUS_WITH_ROI"])

@@ -701,7 +701,10 @@ def to_col_tensor(st: SparseTensor, capacity: int | None = None) -> ColTensor:
     flat2d = jnp.where(st.mask, flat2d, 0)
     occ2d = jnp.zeros((st.batch_size * ny * nx,), bool).at[flat2d].max(st.mask)
     ranks2d = jnp.cumsum(occ2d.astype(jnp.int32)) - 1    # rank in raster order
-    colmap = jnp.where(occ2d, jnp.minimum(ranks2d, m - 1), -1).reshape(
+    # overflow columns (rank >= m, only possible with an explicit small
+    # capacity) must map to -1/empty — aliasing them onto row m-1 would
+    # make neighbor gathers read a DIFFERENT column's features
+    colmap = jnp.where(occ2d & (ranks2d < m), ranks2d, -1).reshape(
         st.batch_size, ny, nx)
 
     rank = jnp.where(st.mask, ranks2d[flat2d], m)        # (N,) per voxel row
@@ -880,6 +883,14 @@ def col_subm_conv(ct: ColTensor, weight: jax.Array, out_channels: int,
     the default."""
     ks = _as3(kernel_size)
     pz, py, px = _as3(padding)
+    # the custom VJPs compute the input gradient via the FLIPPED tap map
+    # (nbr[:, ::-1]), which is the true transpose only for odd, centered
+    # stencils — reject anything else rather than return silently wrong
+    # gradients
+    assert ks[1] % 2 == 1 and ks[2] % 2 == 1 and \
+        py == (ks[1] - 1) // 2 and px == (ks[2] - 1) // 2, \
+        f"col_subm_conv needs an odd centered (ky, kx) stencil, got " \
+        f"kernel={ks} padding={(pz, py, px)}"
     nbr = _col_neighbors(ct, ks[1], ks[2], py, px)
     if impl == "zdec" and ks == (3, 3, 3) and (pz, py, px) == (1, 1, 1):
         k, cin, cout = weight.shape
