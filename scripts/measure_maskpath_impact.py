@@ -35,9 +35,14 @@ def build_pipeline(vcn_ckpt=None):
     from seevcn_tpu.see import device_pipeline as DP
 
     vcn = build_vcn("VCN_VC")
-    if vcn_ckpt:
+    if vcn_ckpt and vcn_ckpt.endswith(".pkl"):    # VCNTrainer native save
+        import pickle
+        with open(vcn_ckpt, "rb") as f:
+            d = pickle.load(f)
+        vcn_vars = d.get("variables", d)
+    elif vcn_ckpt:                                 # reference .pth schema
         from seevcn_tpu.utils.ckpt_compat import load_vcn_checkpoint
-        vcn_vars = load_vcn_checkpoint(vcn_ckpt)
+        vcn_vars = load_vcn_checkpoint(vcn_ckpt, "VCN_VC")
     else:
         vcn_vars = vcn.init(jax.random.PRNGKey(0),
                             {"input": jnp.zeros((1, 1024, 3))})
