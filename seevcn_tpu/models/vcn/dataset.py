@@ -63,7 +63,18 @@ class VCDataset:
                     lab = labels.get(int(key))
                 gtbox = np.asarray(lab.get("gtbox", np.zeros(7)), np.float32) \
                     if isinstance(lab, dict) else np.zeros(7, np.float32)
-                self.samples.append({"partial": view, "complete": complete,
+                # prefer the per-view VIEW-FRAME surface (the reference's
+                # surface/%s/%03d.pcd layout, VCDataset.py:28): the loss
+                # chamfers view-frame predictions against 'complete', so
+                # a shared canonical complete would train completions
+                # toward the origin
+                vc = None
+                for ext in (".pcd", ".npy"):
+                    c = os.path.join(model_dir, "surface", key + ext)
+                    if os.path.exists(c):
+                        vc = c
+                self.samples.append({"partial": view,
+                                     "complete": vc or complete,
                                      "gtbox": gtbox})
 
     def __len__(self):

@@ -342,8 +342,15 @@ def generate_vc_dataset_scenes(mesh_paths, frames, out_dir: str,
             view = exported[mid]
             model_dir = os.path.join(out_dir, mid)
             os.makedirs(os.path.join(model_dir, "partial"), exist_ok=True)
+            os.makedirs(os.path.join(model_dir, "surface"), exist_ok=True)
             key = f"{view:03d}"
             np.save(os.path.join(model_dir, "partial", key + ".npy"), obj_pts)
+            # view-frame complete surface of the placed car (see
+            # generate_vc_dataset: the loss contract needs completes in
+            # the view frame, reference surface/%s/%03d.pcd layout)
+            np.save(os.path.join(model_dir, "surface", key + ".npy"),
+                    sample_surface(car["verts"], model["faces"],
+                                   n_complete, rng))
             labels[mid][key] = {
                 "gtbox": car["gtbox"].astype(np.float32),
                 "bbox_pts": np.concatenate(
@@ -381,6 +388,7 @@ def generate_vc_dataset(mesh_paths, poses, out_dir: str, views_per_pose: int = 1
         model_dir = os.path.join(out_dir, f"model{mi:04d}")
         os.makedirs(os.path.join(model_dir, "partial"), exist_ok=True)
 
+        os.makedirs(os.path.join(model_dir, "surface"), exist_ok=True)
         labels = {}
         view = 0
         for pose in poses:
@@ -391,12 +399,20 @@ def generate_vc_dataset(mesh_paths, poses, out_dir: str, views_per_pose: int = 1
                 continue
             key = f"{view:03d}"
             np.save(os.path.join(model_dir, "partial", key + ".npy"), partial)
+            # per-view complete surface in the VIEW frame — the loss
+            # contract (VCN losses chamfer view-frame coarse against
+            # 'complete') and the reference layout (surface/%s/%03d.pcd,
+            # VCDataset.py:28) both put completes in the view frame; a
+            # shared canonical complete trains the net to place shapes
+            # at the origin
+            np.save(os.path.join(model_dir, "surface", key + ".npy"),
+                    sample_surface(placed, faces, n_complete, rng))
             s = pose[3] / dims[0]  # transform_mesh scales uniformly by dx ratio
             labels[key] = {"gtbox": np.array(
                 [pose[0], pose[1], pose[2],
                  dims[0] * s, dims[1] * s, dims[2] * s, pose[6]], np.float32)}
             view += 1
-        # complete surface in canonical pose
+        # complete surface in canonical pose (kept for CN-style consumers)
         complete = sample_surface(verts, faces, n_complete, rng)
         np.save(os.path.join(model_dir, "complete.npy"), complete)
         with open(os.path.join(model_dir, "labels.pkl"), "wb") as f:

@@ -191,5 +191,32 @@ def test_generate_scene_dataset_consumable(tmp_path):
         labels = pickle.load(f)
     for k, lab in labels.items():
         pts = np.load(out / "model0000" / "partial" / (k + ".npy"))
-        assert VS.points_in_box7(pts, lab["gtbox"]).all()
+        # generator filters in float64; labels store float32 — inflate
+        # the recheck box so exact-boundary points don't flip
+        box = lab["gtbox"].astype(np.float64).copy()
+        box[3:6] += 1e-2
+        assert VS.points_in_box7(pts, box).all()
         assert lab["num_pts"] == len(pts)
+
+
+def test_generated_complete_is_view_frame(tmp_path):
+    """The per-view surface export must sit AT the gt box (view frame),
+    not at the canonical origin — VCN losses chamfer view-frame coarse
+    predictions against 'complete', so a canonical complete trains
+    completions toward the origin (frame-mismatch regression test)."""
+    from seevcn_tpu.models.vcn.dataset import VCDataset
+
+    p = tmp_path / "cube.obj"
+    _make_cube_obj(str(p))
+    poses = [np.array([15, 4, 0.3, 4.2, 0, 0, 0.7])]
+    out = tmp_path / "vc"
+    VS.generate_vc_dataset([str(p)], poses, str(out), n_complete=2048,
+                           logger=lambda s: None)
+    ds = VCDataset(str(out), n_points=128, n_complete=512)
+    item = ds[0]
+    centroid = item["complete"].mean(axis=0)
+    gt = item["gt_boxes"]
+    # centroid of the placed cube surface == box center (within sampling)
+    np.testing.assert_allclose(centroid, gt[:3], atol=0.3)
+    # and the partial view overlaps it (same frame)
+    assert np.linalg.norm(item["input"].mean(0) - gt[:3]) < 3.0
