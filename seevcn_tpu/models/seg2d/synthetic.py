@@ -231,6 +231,10 @@ def synth_frame3d(h, w, rng, n_cars=2, n_bg=3000, car_pts=350):
         nrm = np.abs(local / [L, W, H])
         face = nrm.argmax(1)
         sgn = np.sign(local[np.arange(car_pts), face])
+        # never the BOTTOM face: lidar sees no car underside, and
+        # underside points touching the road plane would merge the car
+        # and ground into one DBSCAN cluster
+        sgn = np.where(face == 2, np.abs(sgn), sgn)
         dims = np.array([L, W, H])
         local[np.arange(car_pts), face] = sgn * dims[face] / 2
         ca, sa = np.cos(yaw), np.sin(yaw)
@@ -245,15 +249,39 @@ def synth_frame3d(h, w, rng, n_cars=2, n_bg=3000, car_pts=350):
             vis &= ~mj
         vis_masks[i] = vis
 
-    # background: road plane + clutter columns
-    bg = np.empty((n_bg, 3), np.float32)
-    nroad = int(n_bg * 0.8)
-    bg[:nroad, 0] = rng.uniform(3, 45, nroad)
-    bg[:nroad, 1] = rng.uniform(-12, 12, nroad)
-    bg[:nroad, 2] = -1.75 + rng.normal(0, 0.03, nroad)
-    bg[nroad:, 0] = rng.uniform(4, 40, n_bg - nroad)
-    bg[nroad:, 1] = rng.uniform(-10, 10, n_bg - nroad)
-    bg[nroad:, 2] = rng.uniform(-1.5, 1.5, n_bg - nroad)
+    # background: road plane + a few pole/wall structures at the road
+    # EDGES (|y| >= 6) — uniform mid-air clutter would put dense point
+    # walls inside every mask frustum and DBSCAN's largest cluster
+    # would pick the clutter over the car, which real scenes don't do
+    # road as lidar RINGS (beam elevations -1.5..-15 deg, sensor 1.75 m
+    # above ground): dense along a ring, metre-scale gaps between rings
+    # at range — uniform-density ground would form one connected strip
+    # through every mask frustum and win the largest-cluster pick
+    ring_pts = []
+    for elev in np.linspace(1.5, 15.0, 14):
+        r = 1.75 / np.tan(np.deg2rad(elev))
+        if r > 48:
+            continue
+        az = np.arange(-0.6, 0.6, np.deg2rad(0.25) / max(r / 40, 0.2))
+        az = az + rng.normal(0, 2e-3, len(az))
+        ring_pts.append(np.stack([
+            r * np.cos(az), r * np.sin(az),
+            np.full(len(az), -1.75) + rng.normal(0, 0.02, len(az))], 1))
+    road = np.concatenate(ring_pts).astype(np.float32)
+    road = road[(road[:, 0] > 3) & (np.abs(road[:, 1]) < 12)]
+    nroad = min(len(road), int(n_bg * 0.85))
+    bg = np.empty((nroad + (n_bg - int(n_bg * 0.85)), 3), np.float32)
+    bg[:nroad] = road[rng.choice(len(road), nroad, replace=False)] \
+        if len(road) > nroad else road
+    k = len(bg) - nroad
+    n_struct = rng.randint(2, 5)
+    centers = np.stack([rng.uniform(5, 40, n_struct),
+                        rng.choice([-1, 1], n_struct)
+                        * rng.uniform(6, 11, n_struct)], 1)
+    which = rng.randint(0, n_struct, k)
+    bg[nroad:, 0] = centers[which, 0] + rng.normal(0, 0.15, k)
+    bg[nroad:, 1] = centers[which, 1] + rng.normal(0, 0.15, k)
+    bg[nroad:, 2] = rng.uniform(-1.7, 1.5, k)
     pts = np.vstack([bg] + pts_car).astype(np.float32)
 
     img = np.clip(img, 0, 1)
