@@ -49,9 +49,12 @@ def build_pipeline(vcn_ckpt=None):
 
     def run(pts, valid, proj, l2c, boxes, masks, scores, image_size):
         cam_pts = pts @ l2c.T
+        # 3% mask shrink: the reference's SHRINK_MASK_PERCENTAGE in
+        # every DET config (cfgs/*-DET_*.yaml)
         member = DP.mask_membership(cam_pts, valid, proj, boxes, masks,
                                     scores, score_thresh=0.0,
-                                    mask_thresh=0.5, image_size=image_size)
+                                    mask_thresh=0.5, image_size=image_size,
+                                    shrink_pct=3.0)
         iso, ok = DP.isolate_and_resample(pts, member,
                                           max_instance_pts=2048,
                                           out_pts=1024)

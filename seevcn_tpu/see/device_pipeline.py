@@ -56,7 +56,8 @@ def _bilinear_patch(patch: jax.Array, fy: jax.Array, fx: jax.Array):
 def rasterize_masks(det_boxes: jax.Array, det_masks: jax.Array,
                     det_scores: jax.Array, image_size: tuple,
                     score_thresh: float = 0.5,
-                    mask_thresh: float = 0.5) -> jax.Array:
+                    mask_thresh: float = 0.5,
+                    shrink_pct: float = 0.0) -> jax.Array:
     """Paste all D<=32 detection mask patches onto ONE (H, W) int32 bit
     canvas (bit d set where instance d's mask covers the pixel).
 
@@ -65,10 +66,24 @@ def rasterize_masks(det_boxes: jax.Array, det_masks: jax.Array,
     by broadcast comparisons), so no gathers at all; this mirrors the
     reference's full-resolution mask raster (annToMask) that mask[v, u]
     indexes (shared_utils.py:104-115).
+
+    ``shrink_pct`` scales each mask toward its box center by that
+    percentage before pasting — the reference's SHRINK_MASK_PERCENTAGE
+    (3 in every DET config; shared_utils.shrink_instance_masks scales
+    polygon coords by (1 - pct/100) about the centroid). Trims boundary
+    pixels whose frustums catch background/ground points.
     """
     h, w = image_size
     d, mh, mw = det_masks.shape
     assert d <= 32, "bit canvas holds up to 32 instances"
+    if shrink_pct:
+        s = 1.0 - shrink_pct / 100.0
+        cx = (det_boxes[:, 0] + det_boxes[:, 2]) / 2
+        cy = (det_boxes[:, 1] + det_boxes[:, 3]) / 2
+        det_boxes = jnp.stack(
+            [cx + (det_boxes[:, 0] - cx) * s, cy + (det_boxes[:, 1] - cy) * s,
+             cx + (det_boxes[:, 2] - cx) * s, cy + (det_boxes[:, 3] - cy) * s],
+            axis=1)
 
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]            # (H, 1)
     xs = jnp.arange(w, dtype=jnp.float32)[:, None]            # (W, 1)
@@ -103,7 +118,8 @@ def mask_membership(points: jax.Array, valid: jax.Array, proj: jax.Array,
                     det_boxes: jax.Array, det_masks: jax.Array,
                     det_scores: jax.Array, score_thresh: float = 0.5,
                     mask_thresh: float = 0.5,
-                    image_size: tuple | None = None) -> jax.Array:
+                    image_size: tuple | None = None,
+                    shrink_pct: float = 0.0) -> jax.Array:
     """(D, P) bool: which in-FOV points fall inside each detection's mask.
 
     det_boxes (D, 4) xyxy in image coords, det_masks (D, mh, mw) patch
@@ -121,7 +137,8 @@ def mask_membership(points: jax.Array, valid: jax.Array, proj: jax.Array,
 
     if image_size is not None:
         canvas = rasterize_masks(det_boxes, det_masks, det_scores,
-                                 image_size, score_thresh, mask_thresh)
+                                 image_size, score_thresh, mask_thresh,
+                                 shrink_pct=shrink_pct)
         h, w = image_size
         # floor, not round: the reference indexes mask[int(v), int(u)]
         # (shared_utils.py:113-115) — truncation semantics

@@ -139,3 +139,34 @@ def test_replace_compacted_path_matches_bruteforce():
         jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(completed),
         jnp.asarray(iv), cand_cap=4096)
     np.testing.assert_array_equal(np.asarray(nv_fast), np.asarray(nv_ref))
+
+
+def test_mask_shrink_reduces_membership():
+    """shrink_pct (reference SHRINK_MASK_PERCENTAGE) must only REMOVE
+    boundary members, never add, and must keep interior members."""
+    rng = np.random.RandomState(11)
+    h, w = 64, 96
+    boxes = jnp.asarray([[20.0, 10, 60, 50]])
+    patch = jnp.ones((1, 28, 28), jnp.float32)
+    scores = jnp.ones((1,), jnp.float32)
+    # points projecting across the box: a grid of pixels
+    uu, vv = np.meshgrid(np.arange(15, 65, 1.0), np.arange(5, 55, 1.0))
+    # simple projector: x_cam=(u-cx)*z/f etc. — use unit-focal identity
+    # proj so points at (u*z, v*z, z) project back to (u, v)
+    proj = jnp.asarray([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]])
+    z = 10.0
+    pts = np.stack([uu.ravel() * z, vv.ravel() * z,
+                    np.full(uu.size, z)], 1).astype(np.float32)
+    valid = jnp.ones((len(pts),), bool)
+    m0 = np.asarray(DP.mask_membership(jnp.asarray(pts), valid, proj, boxes,
+                                       patch, scores, score_thresh=0.5,
+                                       image_size=(h, w)))
+    m3 = np.asarray(DP.mask_membership(jnp.asarray(pts), valid, proj, boxes,
+                                       patch, scores, score_thresh=0.5,
+                                       image_size=(h, w), shrink_pct=10.0))
+    assert m0.sum() > 0
+    assert (m3 <= m0).all()              # shrink only removes
+    assert m3.sum() < m0.sum()           # and does remove boundary pixels
+    # box-center pixel stays a member
+    ci = np.argmin(np.abs(uu.ravel() - 40) + np.abs(vv.ravel() - 30))
+    assert m3[0, ci]
