@@ -55,6 +55,19 @@ def build_pipeline(vcn_ckpt=None):
                                     scores, score_thresh=0.0,
                                     mask_thresh=0.5, image_size=image_size,
                                     shrink_pct=3.0)
+        return _tail(vcn, vcn_vars, pts, valid, member)
+
+    def run_gt(pts, valid, gt_boxes, gt_valid):
+        # the reference's config-1 GT path extracts points IN the gt
+        # boxes (ground-lifted 0.1 m, SEE_VCN.py:46-56 get_pcd_gtboxes),
+        # not mask frustums
+        from seevcn_tpu.geom.boxes import points_in_boxes
+        lifted = gt_boxes.at[:, 2].add(0.05).at[:, 5].add(-0.1)
+        member = points_in_boxes(pts[:, :3], lifted)       # (D, P)
+        member = member & gt_valid[:, None] & valid[None, :]
+        return _tail(vcn, vcn_vars, pts, valid, member)
+
+    def _tail(vcn, vcn_vars, pts, valid, member):
         iso, ok = DP.isolate_and_resample(pts, member,
                                           max_instance_pts=2048,
                                           out_pts=1024)
@@ -67,7 +80,8 @@ def build_pipeline(vcn_ckpt=None):
             pts, valid, completed, ok, point_dist_thresh=0.1)
         return member, iso, ok, completed, new_pts, new_valid
 
-    return jax.jit(run, static_argnames=("image_size",))
+    return (jax.jit(run, static_argnames=("image_size",)),
+            jax.jit(run_gt))
 
 
 def in_box_fraction(pts, boxes):
@@ -110,7 +124,7 @@ def main(argv=None):
 
     h, w = args.image_size
     backend = JaxMaskRCNNBackend(args.ckpt, score_thresh=args.score_thresh)
-    pipe = build_pipeline(args.vcn_ckpt)
+    pipe, pipe_gt = build_pipeline(args.vcn_ckpt)
     rng = np.random.RandomState(args.seed)
 
     D, PATCH = 8, 56
@@ -137,7 +151,6 @@ def main(argv=None):
                 scores[i] = s
             return boxes, patches, scores
 
-        gt_list = [(m, 1.0) for m in vis_masks if m.sum() >= 24]
         dets = backend(scene_to_bgr(img))
         det_list = [(d["mask"], d["score"]) for d in dets]
         det_counts.append(len(det_list))
@@ -145,11 +158,17 @@ def main(argv=None):
         proj = jnp.asarray(calib["P2"])
         l2c = jnp.asarray(calib["lidar_to_cam"])
         outs = {}
-        for name, ml in (("gt", gt_list), ("det", det_list)):
-            boxes, patches, scores = to_fixed(ml)
-            outs[name] = pipe(jnp.asarray(pts), jnp.asarray(valid), proj,
-                              l2c, jnp.asarray(boxes), jnp.asarray(patches),
-                              jnp.asarray(scores), (h, w))
+        # GT path = points in ground-lifted gt boxes (reference config 1)
+        gtb = np.zeros((D, 7), np.float32)
+        gtv = np.zeros((D,), bool)
+        gtb[:len(gt_boxes)] = gt_boxes[:D]
+        gtv[:len(gt_boxes)] = True
+        outs["gt"] = pipe_gt(jnp.asarray(pts), jnp.asarray(valid),
+                             jnp.asarray(gtb), jnp.asarray(gtv))
+        boxes, patches, scores = to_fixed(det_list)
+        outs["det"] = pipe(jnp.asarray(pts), jnp.asarray(valid), proj,
+                           l2c, jnp.asarray(boxes), jnp.asarray(patches),
+                           jnp.asarray(scores), (h, w))
 
         m_gt = np.asarray(outs["gt"][0]).any(0)
         m_det = np.asarray(outs["det"][0]).any(0)

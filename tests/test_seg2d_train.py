@@ -191,7 +191,7 @@ def test_maskpath_impact_harness(tmp_path):
     # (0.97+ at 384x512; the 96x128 rendering is coarser)
     assert vis_masks.any(0)[v, u].mean() > 0.7
 
-    pipe = build_pipeline()
+    pipe, pipe_gt = build_pipeline()
     D, P = 8, 56
     boxes = np.zeros((D, 4), np.float32)
     patches = np.zeros((D, P, P), np.float32)
