@@ -20,41 +20,16 @@ sys.path.insert(0, "/root/repo")
 
 
 def write_car_obj(path, rng):
-    """Car-ish closed mesh: body box + cabin box + 4 wheel boxes."""
-    L = rng.uniform(3.6, 4.8)
-    W = rng.uniform(1.6, 2.0)
-    bodyH = rng.uniform(0.9, 1.2)
-    cabH = rng.uniform(0.5, 0.8)
-    cabL = L * rng.uniform(0.45, 0.6)
-    cab0 = rng.uniform(0.05, 0.25) * L - L / 2
-    wheelR = rng.uniform(0.28, 0.38)
+    """Write a procedural car mesh as .obj in the SHAPENET frame (y up,
+    -z forward) — load_obj + normalize_car_mesh applies the shapenet ->
+    lidar axis swap, so writing lidar-frame verts here would train on
+    sideways cars (height along the length axis)."""
+    from seevcn_tpu.models.vcn.vc_shapenet import procedural_car_mesh
 
-    verts, faces = [], []
-
-    def add_box(x0, y0, z0, x1, y1, z1):
-        base = len(verts)
-        for dz in (z0, z1):
-            for dy in (y0, y1):
-                for dx in (x0, x1):
-                    verts.append((dx, dy, dz))
-        quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 2, 6, 4),
-                 (1, 5, 7, 3), (0, 4, 5, 1), (2, 3, 7, 6)]
-        for a, b, c, d in quads:
-            faces.append((base + a, base + b, base + c))
-            faces.append((base + a, base + c, base + d))
-
-    add_box(-L / 2, -W / 2, wheelR, L / 2, W / 2, wheelR + bodyH)
-    add_box(cab0, -W * 0.4, wheelR + bodyH,
-            cab0 + cabL, W * 0.4, wheelR + bodyH + cabH)
-    for sx in (-1, 1):
-        for sy in (-1, 1):
-            cx = sx * L * 0.32
-            cy = sy * (W / 2 - 0.1)
-            add_box(cx - wheelR, cy - 0.12, 0.0,
-                    cx + wheelR, cy + 0.12, 2 * wheelR)
+    verts, faces = procedural_car_mesh(rng)
     with open(path, "w") as f:
-        for v in verts:
-            f.write(f"v {v[0]:.4f} {v[1]:.4f} {v[2]:.4f}\n")
+        for x, y, z in verts:          # lidar (x fwd, z up) -> shapenet
+            f.write(f"v {y:.4f} {z:.4f} {-x:.4f}\n")
         for a, b, c in faces:
             f.write(f"f {a + 1} {b + 1} {c + 1}\n")
 

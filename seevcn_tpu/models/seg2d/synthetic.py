@@ -202,15 +202,22 @@ def synth_frame3d(h, w, rng, n_cars=2, n_bg=3000, car_pts=350):
     img[horizon:] = road + rng.uniform(-0.03, 0.03)
     img += rng.normal(0, 0.03, (h, w, 3))
 
-    # 3D cars, far to near so nearer cars occlude in both image and order
+    # 3D cars, far to near so nearer cars occlude in both image and
+    # order. Car points come from RAYCASTING procedural car meshes (the
+    # same family the VCN recipe trains on) from the sensor origin —
+    # one-sided occlusion-aware views like real lidar, not box shells.
+    from ..vcn import vc_shapenet as VS
+
     depths = np.sort(rng.uniform(9.0, 30.0, n_cars))[::-1]
     gt_boxes = np.zeros((n_cars, 7), np.float32)
     drawn = []
     pts_car = []
     for i, d in enumerate(depths):
         y = rng.uniform(-0.25, 0.25) * d * (w / (2 * f))  # keep in frame
-        z = -1.0
-        L, W, H = 4.2, 1.9, 1.6
+        verts, faces = VS.procedural_car_mesh(rng)
+        dims = verts.max(0) - verts.min(0)
+        L, W, H = float(dims[0]), float(dims[1]), float(dims[2])
+        z = -1.75 + H / 2                 # wheels on the road plane
         yaw = rng.uniform(-0.4, 0.4) + (0.0 if rng.rand() < 0.5 else np.pi)
         gt_boxes[i] = [d, y, z, L, W, H, yaw]
         # projected footprint: center (u, v), pixel width ~ f*L/d
@@ -225,21 +232,16 @@ def synth_frame3d(h, w, rng, n_cars=2, n_bg=3000, car_pts=350):
         for ch_i in range(3):
             img[..., ch_i] = np.where(m, c[ch_i] * shade, img[..., ch_i])
         drawn.append(m)
-        # lidar points on the box (camera-facing surface bias: front half)
-        local = rng.uniform(-0.5, 0.5, (car_pts, 3)) * [L, W, H]
-        # push to the shell: snap the largest normalized coord to the face
-        nrm = np.abs(local / [L, W, H])
-        face = nrm.argmax(1)
-        sgn = np.sign(local[np.arange(car_pts), face])
-        # never the BOTTOM face: lidar sees no car underside, and
-        # underside points touching the road plane would merge the car
-        # and ground into one DBSCAN cluster
-        sgn = np.where(face == 2, np.abs(sgn), sgn)
-        dims = np.array([L, W, H])
-        local[np.arange(car_pts), face] = sgn * dims[face] / 2
         ca, sa = np.cos(yaw), np.sin(yaw)
-        R = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]])
-        pts_car.append(local @ R.T + [d, y, z])
+        rot = np.array([[ca, sa, 0], [-sa, ca, 0], [0, 0, 1.0]])
+        centered = verts - (verts.max(0) + verts.min(0)) / 2
+        placed = centered @ rot + [d, y, z]
+        ray = VS.cast_rays_at_point(placed, faces, np.array([d, y, z]),
+                                    fov_deg=min(60.0, 1200.0 / d),
+                                    height_px=90)
+        if len(ray) > car_pts:
+            ray = ray[rng.choice(len(ray), car_pts, replace=False)]
+        pts_car.append(ray)
 
     # visible masks (later/nearer cars occlude earlier/farther)
     vis_masks = np.zeros((n_cars, h, w), bool)

@@ -21,6 +21,48 @@ import pickle
 import numpy as np
 
 
+def procedural_car_mesh(rng):
+    """Car-like closed mesh (lidar frame: x forward, z up, ground z=0):
+    body box + cabin box + 4 wheel boxes with varied proportions. The
+    egress-free stand-in for ShapeNet cars — shared by the VCN training
+    recipe (scripts/train_vcn_synthetic.py) and the 3D-consistent frame
+    generator so both draw cars from the same shape family.
+
+    Returns (verts (V, 3) float64, faces (F, 3) int)."""
+    L = rng.uniform(3.6, 4.8)
+    W = rng.uniform(1.6, 2.0)
+    bodyH = rng.uniform(0.9, 1.2)
+    cabH = rng.uniform(0.5, 0.8)
+    cabL = L * rng.uniform(0.45, 0.6)
+    cab0 = rng.uniform(0.05, 0.25) * L - L / 2
+    wheelR = rng.uniform(0.28, 0.38)
+
+    verts, faces = [], []
+
+    def add_box(x0, y0, z0, x1, y1, z1):
+        base = len(verts)
+        for dz in (z0, z1):
+            for dy in (y0, y1):
+                for dx in (x0, x1):
+                    verts.append((dx, dy, dz))
+        quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 2, 6, 4),
+                 (1, 5, 7, 3), (0, 4, 5, 1), (2, 3, 7, 6)]
+        for a, b, c, d in quads:
+            faces.append((base + a, base + b, base + c))
+            faces.append((base + a, base + c, base + d))
+
+    add_box(-L / 2, -W / 2, wheelR, L / 2, W / 2, wheelR + bodyH)
+    add_box(cab0, -W * 0.4, wheelR + bodyH,
+            cab0 + cabL, W * 0.4, wheelR + bodyH + cabH)
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            cx = sx * L * 0.32
+            cy = sy * (W / 2 - 0.1)
+            add_box(cx - wheelR, cy - 0.12, 0.0,
+                    cx + wheelR, cy + 0.12, 2 * wheelR)
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
+
+
 def load_obj(path: str):
     """Minimal OBJ reader -> (vertices (V,3), faces (F,3) int)."""
     verts, faces = [], []
