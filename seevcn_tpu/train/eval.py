@@ -42,7 +42,9 @@ def eval_one_epoch(model, cfg, variables, dataset, batch_size: int = 1,
     @jax.jit
     def step(variables, points, valid, gt_boxes, gt_mask):
         out = model.apply(variables, points, valid, train=False)
-        preds = post_processing(out, post_cfg, len(cfg.CLASS_NAMES), has_roi)
+        preds = post_processing(out, post_cfg, len(cfg.CLASS_NAMES), has_roi,
+                                points=points, points_valid=valid,
+                                class_names=list(cfg.CLASS_NAMES))
         rec = jax.vmap(lambda pb, pm, gb, gm: recall_record(
             pb, pm, gb, gm, thresh_list))(
             preds["pred_boxes"], preds["pred_mask"],

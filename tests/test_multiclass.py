@@ -200,3 +200,53 @@ def test_multi_classes_nms_keeps_per_class_post():
     assert (labels == 1).sum() == 3 and (labels == 2).sum() == 3
     scores = np.asarray(res["pred_scores"][0])[mask]
     assert (np.diff(scores) <= 1e-6).all()  # sorted by score
+
+
+def test_score_by_class_iou_head():
+    """SCORE_TYPE score_by_class selects iou vs cls score per class name
+    (reference second_net_iou.py:59-75,119-122)."""
+    import scipy.special as sp
+
+    from seevcn_tpu.models.detectors.second import post_processing
+
+    # two well-separated ROIs: box0 labeled Car, box1 labeled Pedestrian
+    rois = np.zeros((1, 4, 7), np.float32)
+    rois[0, 0] = [10, 0, 0, 4.0, 2.0, 1.6, 0.0]
+    rois[0, 1] = [30, 10, 0, 0.8, 0.6, 1.7, 0.0]
+    iou_logit = np.full((1, 4), -10.0, np.float32)
+    cls_logit = np.full((1, 4), -10.0, np.float32)
+    iou_logit[0, 0], cls_logit[0, 0] = 2.0, -1.0    # Car: iou high, cls low
+    iou_logit[0, 1], cls_logit[0, 1] = -1.0, 2.0    # Ped: iou low, cls high
+    labels = np.zeros((1, 4), np.int32)
+    labels[0, 0], labels[0, 1] = 1, 2
+    mask = np.zeros((1, 4), bool)
+    mask[0, :2] = True
+    out = {"rois": jnp.asarray(rois), "rcnn_iou": jnp.asarray(iou_logit),
+           "roi_scores": jnp.asarray(cls_logit),
+           "roi_labels": jnp.asarray(labels), "roi_mask": jnp.asarray(mask)}
+
+    base = {"RECALL_THRESH_LIST": [0.3], "SCORE_THRESH": 0.1,
+            "NMS_CONFIG": {"MULTI_CLASSES_NMS": False, "NMS_TYPE": "nms_gpu",
+                           "NMS_THRESH": 0.1, "NMS_PRE_MAXSIZE": 4,
+                           "NMS_POST_MAXSIZE": 4,
+                           "SCORE_TYPE": "score_by_class",
+                           "SCORE_BY_CLASS": {"Car": "iou",
+                                              "Pedestrian": "cls"}}}
+    res = post_processing(out, Cfg(base), num_class=2, has_roi_head=True,
+                          class_names=["Car", "Pedestrian"])
+    m = np.asarray(res["pred_mask"][0])
+    got = {int(l): float(s) for l, s, k in zip(
+        np.asarray(res["pred_labels"][0]), np.asarray(res["pred_scores"][0]),
+        m) if k}
+    assert np.isclose(got[1], sp.expit(2.0), atol=1e-5), got   # Car -> iou
+    assert np.isclose(got[2], sp.expit(2.0), atol=1e-5), got   # Ped -> cls
+
+    # sanity: plain iou mode scores the Pedestrian with its (low) iou score
+    base["NMS_CONFIG"]["SCORE_TYPE"] = "iou"
+    res2 = post_processing(out, Cfg(base), num_class=2, has_roi_head=True,
+                           class_names=["Car", "Pedestrian"])
+    m2 = np.asarray(res2["pred_mask"][0])
+    got2 = {int(l): float(s) for l, s, k in zip(
+        np.asarray(res2["pred_labels"][0]),
+        np.asarray(res2["pred_scores"][0]), m2) if k}
+    assert np.isclose(got2.get(2, sp.expit(-1.0)), sp.expit(-1.0), atol=1e-5)
