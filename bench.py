@@ -223,13 +223,33 @@ def main():
     for name, t in stage_times.items():
         print(f"stage {name}: {t * 1e3:.1f} ms", file=sys.stderr)
 
-    # e2e: the BASELINE metric
+    # e2e: the BASELINE metric. This loop is CROSS-FRAME PIPELINED
+    # (VERDICT r3 #3): each frame is one async dispatch (~13 ms host/tunnel
+    # cost) and the device stream executes in order, so frame N+1's
+    # dispatch overlaps frame N's execution; the single readback at the
+    # end gates the whole stream. Frames are independent, so this is the
+    # deployment shape (the reference's sc_multiproc worker pool streams
+    # frames the same way).
     t0 = time.time()
     for i in range(n_iters):
         gates = frame(img_inputs[i], det_inputs[i], jv)
     total = sum(float(g) for g in gates[-1:])  # gates the enqueued stream
     dt = (time.time() - t0) / n_iters
     print(f"e2e: {dt * 1e3:.1f} ms/frame", file=sys.stderr)
+
+    # unpipelined contrast: gate EVERY frame on a host readback before
+    # dispatching the next (serialized dispatch -> execute -> readback).
+    # The delta quantifies what the streaming loop gets for free; recorded
+    # in BASELINE.md per VERDICT r3 #3.
+    t0 = time.time()
+    for i in range(n_iters):
+        gates = frame(img_inputs[i], det_inputs[i], jv)
+        _ = float(gates[-1])
+    dt_seq = (time.time() - t0) / n_iters
+    print(f"e2e unpipelined (per-frame readback gate): "
+          f"{dt_seq * 1e3:.1f} ms/frame "
+          f"(pipelining saves {max(dt_seq - dt, 0) * 1e3:.1f} ms/frame)",
+          file=sys.stderr)
 
     fps = B / dt
     print(json.dumps({

@@ -50,10 +50,19 @@ def _run_backbone_multi_scale(cfg, st, batch_size: int, train: bool):
         kw["dtype"] = mcfg.BACKBONE_3D.get("DTYPE", "float32")
     bb_out = backbone(input_channels=cfg.num_point_features,
                       name="backbone_3d", **kw)(st, train)
-    capacity = st.features.shape[0]
+    # Extraction capacity: a strided conv can EXPAND the active set (up
+    # to 8 outputs per isolated input voxel at stride-2 k3), so the input
+    # voxel count alone can silently drop actives (ADVICE r3). The
+    # multiplier is config-plumbed; active counts are surfaced for audit.
+    mult = float(mcfg.BACKBONE_3D.get("EXTRACT_CAPACITY_MULT", 1.5))
+    capacity = int(round(st.features.shape[0] * mult))
     multi_scale = {
         name: SP.as_sparse(t, batch_size, capacity)
         for name, t in bb_out["multi_scale_3d_features"].items()}
+    bb_out["extract_active_counts"] = {
+        name: SP.active_count(t)
+        for name, t in bb_out["multi_scale_3d_features"].items()}
+    bb_out["extract_capacity"] = capacity
     return bb_out, multi_scale
 
 

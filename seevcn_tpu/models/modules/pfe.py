@@ -56,6 +56,7 @@ class SALayer(nn.Module):
     radii: Sequence[float]
     nsamples: Sequence[int]
     mlps: Sequence[Sequence[int]]
+    exact_ball_query: bool = False   # cfg EXACT_BALL_QUERY (ADVICE r3)
 
     @nn.compact
     def __call__(self, new_xyz, support_xyz, support_feats, support_valid,
@@ -71,24 +72,31 @@ class SALayer(nn.Module):
         # highest-index members — which a small-radius query may need
         # for its first-N-by-index contract. Scale by the area ratio
         # (lidar points lie on ~2D surfaces), clamped for table memory.
+        # table_size shrinks under PN2.table_size_for's entry budget so
+        # cap=512 tables no longer cost ~0.25 GB per batch element
+        # (ADVICE r3: B tables are live at once under the vmap below).
         shared_cell = float(max(self.radii))
         ratio2 = (shared_cell / max(float(min(self.radii)), 1e-3)) ** 2
         shared_cap = int(min(max(2 * max(int(n) for n in self.nsamples)
                                  * max(ratio2, 1.0), 64), 512))
         use_grid = support_xyz.shape[1] >= _GRID_BQ_MIN_SUPPORT
         if use_grid:
+            from ...ops.pointnet2 import table_size_for
+            tsize = table_size_for(support_xyz.shape[1], shared_cap)
             tables = jax.vmap(lambda s, v: build_grid_table(
-                s, shared_cell, v, capacity=shared_cap))(support_xyz,
-                                                         support_valid)
+                s, shared_cell, v, table_size=tsize,
+                capacity=shared_cap))(support_xyz, support_valid)
         for i, (r, ns, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
             def gather(q, sup, v, f=None, tab=None):
                 if tab is not None:
                     # invalid supports never enter the table, so no
                     # re-check against v is needed here
-                    idx, valid = grid_ball_query_table(tab, q, shared_cell,
-                                                       float(r), int(ns))
+                    idx, valid = grid_ball_query_table(
+                        tab, q, shared_cell, float(r), int(ns),
+                        exact=self.exact_ball_query)
                 else:
-                    idx, valid = ball_query(q, sup, float(r), int(ns), v)
+                    idx, valid = ball_query(q, sup, float(r), int(ns), v,
+                                            exact=self.exact_ball_query)
                 return group_features(idx, valid, q, sup, f), valid
 
             args = (new_xyz, support_xyz, support_valid) + \
@@ -217,7 +225,9 @@ def build_sa_layer(sa_cfg, name: str):
             name=name)
     return SALayer(tuple(float(r) for r in sa_cfg["POOL_RADIUS"]),
                    tuple(int(n) for n in sa_cfg["NSAMPLE"]),
-                   tuple(tuple(m) for m in sa_cfg["MLPS"]), name=name)
+                   tuple(tuple(m) for m in sa_cfg["MLPS"]),
+                   exact_ball_query=bool(sa_cfg.get("EXACT_BALL_QUERY",
+                                                    False)), name=name)
 
 
 class VoxelSetAbstraction(nn.Module):

@@ -84,6 +84,8 @@ class PVRCNNHead(nn.Module):
         layer = SALayer(tuple(float(r) for r in cfg["ROI_GRID_POOL"]["POOL_RADIUS"]),
                         tuple(int(n) for n in cfg["ROI_GRID_POOL"]["NSAMPLE"]),
                         tuple(tuple(m) for m in cfg["ROI_GRID_POOL"]["MLPS"]),
+                        exact_ball_query=bool(cfg["ROI_GRID_POOL"].get(
+                            "EXACT_BALL_QUERY", False)),
                         name="roi_grid_pool")
         weighted = keypoint_features * keypoint_scores[..., None]
 

@@ -85,10 +85,14 @@ class UNetV2(nn.Module):
     return_encoded: bool = True
     mode: str = "sparse"
     dtype: str = "float32"
+    # extraction headroom over the input voxel count: strided convs can
+    # EXPAND the active set (ADVICE r3); audit with SP.active_count
+    extract_capacity_mult: float = 1.5
 
     @nn.compact
     def __call__(self, st: SP.SparseTensor, train: bool = False):
         cap = st.features.shape[0]
+        ecap = int(round(cap * self.extract_capacity_mult))
         bsz = st.batch_size
         x = st
         if self.mode == "hybrid":
@@ -102,7 +106,7 @@ class UNetV2(nn.Module):
         fast = self.mode != "sparse"
 
         def extract(t):
-            s = SP.as_sparse(t, bsz, cap)
+            s = SP.as_sparse(t, bsz, ecap)
             return s._replace(features=s.features.astype(jnp.float32))
 
         x = SpConvLayer(16, subm=True, padding=1, name="conv_input")(x, train)

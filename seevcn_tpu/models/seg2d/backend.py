@@ -36,7 +36,7 @@ def init_seg2d(model, rng=None):
     return jax.jit(partial(model.init, train=False))({"params": rng}, img)
 
 
-def make_seg2d_train_step(model, tx):
+def make_seg2d_train_step(model, tx, packed_masks: bool | None = None):
     """Returns (state-dict, imgs, gts..., rng) -> (state-dict, metrics).
 
     Host->device transfer through the tunneled TPU backend is the
@@ -44,10 +44,16 @@ def make_seg2d_train_step(model, tx):
     per step at single-digit MB/s), so the step accepts wire-compressed
     inputs and decodes ON DEVICE: float16 images (cast up to f32) and
     bit-packed uint8 masks (unpacked with shifts; np.packbits
-    bitorder='little' layout). Full-precision inputs still work — the
-    decode is keyed on dtype/shape. The per-step RNG folds in a device
-    step counter (state['it']) so callers pass one constant key instead
-    of dispatching a fold_in per step."""
+    bitorder='little' layout). Full-precision inputs still work.
+
+    ``packed_masks`` makes the wire format EXPLICIT (ADVICE r3: the old
+    dtype/shape heuristic would silently bit-unpack a legitimate unpacked
+    uint8 mask at 1/8 image width). None keeps the heuristic for
+    backward compat; pass True/False when you know the format.
+
+    The per-step RNG folds in a device step counter (state['it']) so
+    callers pass one constant key instead of dispatching a fold_in per
+    step."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -55,8 +61,10 @@ def make_seg2d_train_step(model, tx):
     def step(state, images, gt_boxes, gt_labels, gt_valid, gt_masks, rng):
         if images.dtype != jnp.float32:
             images = images.astype(jnp.float32)
-        if gt_masks.dtype == jnp.uint8 and \
-                gt_masks.shape[-1] * 8 == images.shape[-2]:
+        unpack = packed_masks if packed_masks is not None else (
+            gt_masks.dtype == jnp.uint8 and
+            gt_masks.shape[-1] * 8 == images.shape[-2])
+        if unpack:
             bits = (gt_masks[..., None] >>
                     jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
             gt_masks = bits.reshape(*gt_masks.shape[:-1],

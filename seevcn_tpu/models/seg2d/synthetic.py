@@ -211,7 +211,7 @@ def synth_frame3d(h, w, rng, n_cars=2, n_bg=3000, car_pts=350):
     depths = np.sort(rng.uniform(9.0, 30.0, n_cars))[::-1]
     gt_boxes = np.zeros((n_cars, 7), np.float32)
     drawn = []
-    pts_car = []
+    placed_meshes = []
     for i, d in enumerate(depths):
         y = rng.uniform(-0.25, 0.25) * d * (w / (2 * f))  # keep in frame
         verts, faces = VS.procedural_car_mesh(rng)
@@ -235,13 +235,25 @@ def synth_frame3d(h, w, rng, n_cars=2, n_bg=3000, car_pts=350):
         ca, sa = np.cos(yaw), np.sin(yaw)
         rot = np.array([[ca, sa, 0], [-sa, ca, 0], [0, 0, 1.0]])
         centered = verts - (verts.max(0) + verts.min(0)) / 2
-        placed = centered @ rot + [d, y, z]
-        ray = VS.cast_rays_at_point(placed, faces, np.array([d, y, z]),
+        placed_meshes.append((centered @ rot + [d, y, z], faces))
+
+    # cast each car's ray bundle against the MERGED scene mesh (ADVICE r3:
+    # per-own-mesh casting gave the cloud no cross-car occlusion while the
+    # image masks subtract nearer cars) — a near car now shadows the far
+    # car's points exactly like it shadows its pixels
+    scene_verts, scene_faces = VS._merge_meshes(placed_meshes)
+    pts_car = []
+    for i, d in enumerate(depths):
+        ray = VS.cast_rays_at_point(scene_verts, scene_faces,
+                                    gt_boxes[i, :3].astype(np.float64),
                                     fov_deg=min(60.0, 1200.0 / d),
                                     height_px=90)
+        # keep only hits on THIS car (merged-cast hits include other cars)
+        if len(ray):
+            ray = ray[VS.points_in_box7(ray, gt_boxes[i])]
         if len(ray) > car_pts:
             ray = ray[rng.choice(len(ray), car_pts, replace=False)]
-        pts_car.append(ray)
+        pts_car.append(ray.reshape(-1, 3).astype(np.float32))
 
     # visible masks (later/nearer cars occlude earlier/farther)
     vis_masks = np.zeros((n_cars, h, w), bool)

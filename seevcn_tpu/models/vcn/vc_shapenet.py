@@ -277,6 +277,35 @@ def cast_rays_at_point(verts, faces, point, fov_deg: float = 100.0,
     return _cast_rays(verts, faces, eye, dirs)
 
 
+def cast_rays_t(verts, faces, origin, dirs, max_range: float = 120.0,
+                block: int = 4096) -> np.ndarray:
+    """Möller–Trumbore nearest-hit DISTANCE per ray: -> t (R,) float64,
+    np.inf where the ray misses every triangle. The spinning-lidar frame
+    generator needs per-ray t to z-buffer mesh hits against the analytic
+    ground plane (reference analog: o3d raycasting returns t_hit,
+    dataset_functions.py raycast_object)."""
+    origin = np.asarray(origin, np.float64)
+    v0 = verts[faces[:, 0]]
+    e1 = verts[faces[:, 1]] - v0
+    e2 = verts[faces[:, 2]] - v0
+    out = np.full(len(dirs), np.inf)
+    for s in range(0, len(dirs), block):
+        d = dirs[s:s + block]
+        p = np.cross(d[:, None, :], e2[None, :, :])
+        det = np.einsum("fk,rfk->rf", e1, p)
+        inv = np.where(np.abs(det) > 1e-12, 1.0 / det, 0.0)
+        t0 = origin - v0
+        u = np.einsum("fk,rfk->rf", t0, p) * inv
+        q = np.cross(t0[None, :, :], e1[None, :, :])
+        qb = np.broadcast_to(q, (len(d),) + q.shape[1:])
+        vv = np.einsum("rk,rfk->rf", d, qb) * inv
+        t = np.einsum("fk,rfk->rf", e2, qb) * inv
+        ok = (np.abs(det) > 1e-12) & (u >= 0) & (vv >= 0) & (u + vv <= 1) & \
+            (t > 1e-6) & (t < max_range)
+        out[s:s + block] = np.where(ok, t, np.inf).min(axis=1)
+    return out
+
+
 def _cast_rays(verts, faces, origin, dirs, max_range: float = 120.0,
                block: int = 4096):
     """Möller–Trumbore nearest-hit for arbitrary ray directions."""

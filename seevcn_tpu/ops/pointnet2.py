@@ -28,30 +28,68 @@ from .sampling import cell_hash, pairwise_sqdist
 #: dense ball query switches to the hash-grid path above this support size
 _GRID_BQ_MIN_SUPPORT = 16384
 _HASH_T = 1 << 16          # hash buckets
+#: total (table_size * capacity) entry budget per grid table — bounds the
+#: table_xyz/table_idx HBM footprint (ADVICE r3: 512-cap tables at 2^16
+#: buckets cost ~0.25 GB per batch element; 2^22 entries = ~48 MB xyz)
+_TABLE_ENTRY_BUDGET = 1 << 22
+
+
+def _exact_default() -> bool:
+    """Process-wide opt-out of approx_max_k selection (ADVICE r3): set
+    SEEVCN_EXACT_BALL_QUERY=1 to restore exact first-N-by-index top_k on
+    every path (parity debugging, accuracy-sensitive evals)."""
+    import os
+
+    return os.environ.get("SEEVCN_EXACT_BALL_QUERY", "0") == "1"
+
+
+def _first_n_by_key(key: jax.Array, nsample: int, exact: bool):
+    """Smallest ``nsample`` keys per row: exact top_k or TPU approx_max_k
+    (recall_target 0.95 — may swap a few of the first-N members for other
+    IN-radius candidates, never an out-of-radius one)."""
+    if exact:
+        neg, idx = jax.lax.top_k(-key.astype(jnp.float32), nsample)
+    else:
+        neg, idx = jax.lax.approx_max_k(-key.astype(jnp.float32), nsample,
+                                        recall_target=0.95)
+    return neg, idx
+
+
+def table_size_for(n_support: int, capacity: int) -> int:
+    """Hash-bucket count under the entry budget: next pow2 of
+    min(_HASH_T, budget/capacity), at least 4096."""
+    want = min(_HASH_T, max(4096, _TABLE_ENTRY_BUDGET // max(capacity, 1)))
+    return 1 << (want - 1).bit_length()
 
 
 def ball_query(new_xyz: jax.Array, support_xyz: jax.Array, radius: float,
                nsample: int, support_valid: jax.Array | None = None,
-               chunk: int = 1024):
+               chunk: int = 1024, exact: bool | None = None):
     """new_xyz (K, 3), support_xyz (N, 3) -> (idx (K, nsample) int32,
     valid (K, nsample) bool): the FIRST nsample in-radius supports by
     index order (CUDA ball_query semantics).
 
     Large supports route to the hash-grid path: the dense formulation's
     per-row top_k over N (the index-order selection) is O(N log N) per
-    query — measured 5.2 s for a PV-RCNN forward at 150k points."""
+    query — measured 5.2 s for a PV-RCNN forward at 150k points.
+
+    ``exact=True`` (or SEEVCN_EXACT_BALL_QUERY=1) replaces approx_max_k
+    with the exact sort so TPU results match CPU/GPU and the reference's
+    first-N CUDA semantics bit-for-bit (ADVICE r3)."""
+    if exact is None:
+        exact = _exact_default()
     if support_xyz.shape[0] >= _GRID_BQ_MIN_SUPPORT:
         return grid_ball_query(new_xyz, support_xyz, radius, nsample,
-                               support_valid)
+                               support_valid, exact=exact)
     return _dense_ball_query(new_xyz, support_xyz, radius, nsample,
-                             support_valid, chunk)
+                             support_valid, chunk, exact)
 
 
-@partial(jax.jit, static_argnames=("nsample", "chunk"))
+@partial(jax.jit, static_argnames=("nsample", "chunk", "exact"))
 def _dense_ball_query(new_xyz: jax.Array, support_xyz: jax.Array,
                       radius: float, nsample: int,
                       support_valid: jax.Array | None = None,
-                      chunk: int = 1024):
+                      chunk: int = 1024, exact: bool = False):
     """Chunked over K to bound the (chunk, N) buffer."""
     k = new_xyz.shape[0]
     n = support_xyz.shape[0]
@@ -72,10 +110,9 @@ def _dense_ball_query(new_xyz: jax.Array, support_xyz: jax.Array,
         # 27648 x 4096); recall_target 0.95 may swap a few of the
         # first-N members for other IN-RADIUS points (never an
         # out-of-radius one — misses surface as valid=False). Keys are
-        # < 2^24 so the f32 cast is exact; non-TPU backends lower this
-        # to the exact sort.
-        neg, idx = jax.lax.approx_max_k(-key.astype(jnp.float32), nsample,
-                                        recall_target=0.95)
+        # < 2^24 so the f32 cast is exact; the ``exact`` knob restores
+        # the exact sort (ADVICE r3).
+        neg, idx = _first_n_by_key(key, nsample, exact)
         valid = -neg < big
         return idx.astype(jnp.int32), valid
 
@@ -135,9 +172,10 @@ def build_grid_table(support_xyz: jax.Array, cell,
         origin)
 
 
-@partial(jax.jit, static_argnames=("nsample",))
+@partial(jax.jit, static_argnames=("nsample", "exact"))
 def grid_ball_query_table(table: HashGridTable, new_xyz: jax.Array,
-                          cell, radius, nsample: int):
+                          cell, radius, nsample: int,
+                          exact: bool = False):
     """Query a prebuilt table (cell >= radius required): 27 neighbor
     cells -> candidate buckets -> distance + first-N-by-index select."""
     k = new_xyz.shape[0]
@@ -162,19 +200,20 @@ def grid_ball_query_table(table: HashGridTable, new_xyz: jax.Array,
     big = jnp.int32(1 << 30)
     key = jnp.where(ok, cand, big)
     # approx first-N (see _dense_ball_query): support ids < 2^24 and the
-    # 2^30 sentinel are all exact in f32
-    neg, pos = jax.lax.approx_max_k(-key.astype(jnp.float32), nsample,
-                                    recall_target=0.95)
+    # 2^30 sentinel are all exact in f32; ``exact`` restores the sort
+    neg, pos = _first_n_by_key(key, nsample, exact)
     valid = -neg < big
     idx = jnp.take_along_axis(jnp.maximum(cand, 0), pos, axis=1)
     return jnp.where(valid, idx, 0).astype(jnp.int32), valid
 
 
-@partial(jax.jit, static_argnames=("nsample", "table_size", "capacity"))
+@partial(jax.jit, static_argnames=("nsample", "table_size", "capacity",
+                                   "exact"))
 def grid_ball_query(new_xyz: jax.Array, support_xyz: jax.Array,
                     radius: float, nsample: int,
                     support_valid: jax.Array | None = None,
-                    table_size: int = _HASH_T, capacity: int | None = None):
+                    table_size: int | None = None,
+                    capacity: int | None = None, exact: bool = False):
     """Hash-grid ball query: build_grid_table + grid_ball_query_table in
     one call (cell = radius).
 
@@ -190,9 +229,12 @@ def grid_ball_query(new_xyz: jax.Array, support_xyz: jax.Array,
     """
     if capacity is None:
         capacity = max(2 * nsample, 32)
+    if table_size is None:
+        table_size = table_size_for(support_xyz.shape[0], capacity)
     table = build_grid_table(support_xyz, radius, support_valid,
                              table_size=table_size, capacity=capacity)
-    return grid_ball_query_table(table, new_xyz, radius, radius, nsample)
+    return grid_ball_query_table(table, new_xyz, radius, radius, nsample,
+                                 exact=exact)
 
 
 def group_features(idx, valid, new_xyz, support_xyz, support_features=None):

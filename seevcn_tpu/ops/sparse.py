@@ -986,7 +986,15 @@ def col_to_sparse(ct: ColTensor, batch_size: int,
 
 
 def as_sparse(t, batch_size: int, capacity: int) -> SparseTensor:
-    """Any execution-layout tensor -> key-sorted SparseTensor view."""
+    """Any execution-layout tensor -> key-sorted SparseTensor view.
+
+    ``capacity`` must cover the layout's TRUE active count: jnp.nonzero
+    truncates by raster order, so an undersized capacity silently drops
+    the highest-key actives (ADVICE r3: a strided conv can EXPAND the
+    active set — up to 8 outputs per isolated input voxel at stride-2
+    k3). Callers size it via an EXTRACT_CAPACITY_MULT over the input
+    voxel count and can audit with ``active_count(t)`` (asserted in
+    tests/test_sparse.py)."""
     if isinstance(t, SparseTensor):
         return t
     if isinstance(t, ZFoldTensor):
@@ -995,6 +1003,21 @@ def as_sparse(t, batch_size: int, capacity: int) -> SparseTensor:
         return dense_to_sparse(t, capacity)
     if isinstance(t, ColTensor):
         return col_to_sparse(t, batch_size, capacity)
+    raise TypeError(type(t))
+
+
+def active_count(t) -> "jax.Array":
+    """True number of active voxels of any execution-layout tensor — the
+    overflow audit for as_sparse (active_count(t) <= extraction capacity
+    must hold or actives were silently dropped)."""
+    if isinstance(t, SparseTensor):
+        return t.mask.sum()
+    if isinstance(t, ZFoldTensor):
+        return t.occ.sum()
+    if isinstance(t, DenseTensor):
+        return t.occ.sum()
+    if isinstance(t, ColTensor):
+        return (t.zocc & t.mask[:, None]).sum()
     raise TypeError(type(t))
 
 

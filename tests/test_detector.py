@@ -8,6 +8,8 @@ from seevcn_tpu.models.modules.box_coder import ResidualCoder
 from seevcn_tpu.models.modules.anchors import generate_anchors
 from seevcn_tpu.models.detectors.second import build_detector, post_processing
 
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
+
 
 def test_residual_coder_roundtrip():
     rng = np.random.RandomState(0)

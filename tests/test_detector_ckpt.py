@@ -1,6 +1,8 @@
 """OpenPCDet checkpoint import: synthesize a state dict with the exact key
 names/shapes the reference SECONDNetIoU produces, import, and require the
 variable tree to match model.init exactly (structure + shapes)."""
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +10,8 @@ import jax.numpy as jnp
 from seevcn_tpu.utils import ckpt_compat
 from seevcn_tpu.models.detectors.second import build_detector
 from test_detector import _mini_cfg, _fake_batch
+
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
 
 
 def make_reference_second_iou_state_dict(rng, cfg):

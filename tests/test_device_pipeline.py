@@ -1,9 +1,13 @@
 """Fused on-device SEE DET path (see/device_pipeline.py): membership ->
 isolation -> replacement, against straightforward numpy references."""
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
 from seevcn_tpu.see import device_pipeline as DP
+
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
 
 
 def _proj_identity():

@@ -1,6 +1,8 @@
 """Vectorized KITTI AP statistics: fuzz parity against the scalar oracle,
 golden parity against the REFERENCE evaluator (numba stubbed to no-op jit),
 AOS, and full-KITTI-val-scale speed."""
+import pytest
+
 import sys
 import time
 import types
@@ -11,6 +13,8 @@ from seevcn_tpu.data.kitti.eval import (clean_data, compute_statistics,
                                         eval_class, fused_statistics,
                                         get_official_eval_result,
                                         get_thresholds)
+
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
 
 
 def _rand_annos(rng, n_frames=8, max_gt=12, max_dt=16, with_dc=True):
@@ -251,3 +255,106 @@ def test_camera_frame_3d_iou_matches_reference_kernel():
         jnp.asarray(_camera_to_lidar_like(g[0]), jnp.float32),
         jnp.asarray(_camera_to_lidar_like(d[0]), jnp.float32)), np.float64)
     np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def _rand_annos_hard(rng, n_frames=16):
+    """Adversarial protocol cases (VERDICT r3 #9): empty frames (0 gt
+    and/or 0 dt), DontCare-heavy frames, multi-class with similar-class
+    gts (Van near Car, Person_sitting near Pedestrian) and heights
+    straddling the MIN_HEIGHT difficulty cuts."""
+    names = np.array(["Car", "Van", "Pedestrian", "Person_sitting",
+                      "DontCare", "Cyclist", "Truck", "Misc"])
+    gt_annos, dt_annos = [], []
+    for fi in range(n_frames):
+        kind = rng.randint(0, 4)
+        if kind == 0:          # empty gt frame
+            ng = 0
+        elif kind == 1:        # DontCare-heavy
+            ng = rng.randint(6, 14)
+        else:
+            ng = rng.randint(1, 10)
+        gname = names[rng.randint(0, len(names), ng)]
+        if kind == 1 and ng:
+            gname[rng.rand(ng) < 0.6] = "DontCare"
+        gbbox = np.zeros((ng, 4))
+        gbbox[:, 0] = rng.uniform(0, 1000, ng)
+        gbbox[:, 1] = rng.uniform(0, 200, ng)
+        gbbox[:, 2] = gbbox[:, 0] + rng.uniform(20, 120, ng)
+        # heights straddle MIN_HEIGHT (40/25/25)
+        gbbox[:, 3] = gbbox[:, 1] + rng.choice(
+            [18, 24, 26, 39, 41, 80], ng)
+        gt_annos.append({
+            "name": gname, "bbox": gbbox,
+            "occluded": rng.randint(0, 4, ng),
+            "truncated": rng.choice([0.0, 0.1, 0.2, 0.4, 0.6, 0.9], ng),
+            "alpha": rng.uniform(-np.pi, np.pi, ng),
+            "location": rng.uniform(-20, 20, (ng, 3)),
+            "dimensions": rng.uniform(1, 5, (ng, 3)),
+            "rotation_y": rng.uniform(-np.pi, np.pi, ng),
+        })
+        nd = 0 if kind == 3 else rng.randint(0, 14)
+        dbbox = np.zeros((nd, 4))
+        for j in range(nd):
+            if j < ng and rng.rand() < 0.6:
+                dbbox[j] = gbbox[j] + rng.uniform(-8, 8, 4)
+            else:
+                dbbox[j, 0] = rng.uniform(0, 1000)
+                dbbox[j, 1] = rng.uniform(0, 200)
+                dbbox[j, 2] = dbbox[j, 0] + rng.uniform(20, 120)
+                dbbox[j, 3] = dbbox[j, 1] + rng.choice(
+                    [18.0, 24.0, 26.0, 39.0, 41.0, 80.0])
+        dt_annos.append({
+            "name": names[rng.randint(0, 4, nd)], "bbox": dbbox,
+            "score": rng.uniform(0, 1, nd),
+            "alpha": rng.uniform(-np.pi, np.pi, nd),
+            "location": rng.uniform(-20, 20, (nd, 3)),
+            "dimensions": rng.uniform(1, 5, (nd, 3)),
+            "rotation_y": rng.uniform(-np.pi, np.pi, nd),
+        })
+    return gt_annos, dt_annos
+
+
+def test_protocol_parity_multiclass_dontcare_empty():
+    """Hardened golden parity vs the reference evaluator over the ignore
+    rules where silent divergence hides (reference eval.py:30-85):
+    similar-class gts, DontCare-over-detection suppression, MIN_HEIGHT
+    cuts, empty gt/dt frames — across classes Car and Pedestrian, 3 seeds
+    x 3 difficulties (VERDICT r3 #9)."""
+    ref_eval = _load_reference_eval()
+    CLASS_IDS = {"Car": 0, "Pedestrian": 1}
+    for seed in (13, 21, 34):
+        rng = np.random.RandomState(seed)
+        gt_annos, dt_annos = _rand_annos_hard(rng)
+        for cls, cid in CLASS_IDS.items():
+            mo = np.full((1, 1, 1), 0.5)
+            ref = ref_eval.eval_class(gt_annos, dt_annos,
+                                      current_classes=[cid],
+                                      difficultys=[0, 1, 2], metric=0,
+                                      min_overlaps=mo, compute_aos=True)
+            for diff in (0, 1, 2):
+                ours = eval_class(gt_annos, dt_annos, cls, diff, "bbox",
+                                  0.5, compute_aos=True)
+                np.testing.assert_allclose(
+                    ours["precision"], ref["precision"][0, diff, 0],
+                    atol=1e-12, err_msg=f"{seed}/{cls}/{diff} precision")
+                np.testing.assert_allclose(
+                    ours["recall"], ref["recall"][0, diff, 0],
+                    atol=1e-12, err_msg=f"{seed}/{cls}/{diff} recall")
+                np.testing.assert_allclose(
+                    ours["aos"], ref["orientation"][0, diff, 0],
+                    atol=1e-12, err_msg=f"{seed}/{cls}/{diff} aos")
+
+
+def test_eval_all_empty_frames():
+    """Zero detections over all frames and zero gts over all frames both
+    produce AP 0 without crashing (the reference returns 0-filled arrays)."""
+    rng = np.random.RandomState(1)
+    gt_annos, dt_annos = _rand_annos(rng, n_frames=4)
+    empty_dt = [{k: (v[:0] if hasattr(v, "__len__") else v)
+                 for k, v in d.items()} for d in dt_annos]
+    r = eval_class(gt_annos, empty_dt, "Car", 0, "bbox", 0.7)
+    assert r["ap_r40"] == 0.0
+    empty_gt = [{k: (v[:0] if hasattr(v, "__len__") else v)
+                 for k, v in g.items()} for g in gt_annos]
+    r2 = eval_class(empty_gt, dt_annos, "Car", 0, "bbox", 0.7)
+    assert r2["ap_r40"] == 0.0

@@ -1,3 +1,5 @@
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -5,6 +7,8 @@ import jax.numpy as jnp
 from seevcn_tpu.utils.config import Cfg
 from seevcn_tpu.models.detectors.second import build_detector
 from test_detector import _mini_cfg, _fake_batch
+
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
 
 
 def _pa2_cfg():

@@ -8,6 +8,8 @@ from seevcn_tpu.utils.config import Cfg
 from seevcn_tpu.models.detectors.second import build_detector
 from test_detector import _mini_cfg, _fake_batch
 
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
+
 
 def test_ball_query_first_n_within_radius():
     support = jnp.asarray(np.array(

@@ -10,6 +10,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
+
 torch = pytest.importorskip("torch")
 
 

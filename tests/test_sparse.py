@@ -1,9 +1,13 @@
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from seevcn_tpu.ops import sparse as SP
 from seevcn_tpu.ops.voxelize import voxelize, voxelize_batch, grid_size
+
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
 
 
 def _random_sparse(rng, batch=2, dims=(6, 8, 10), cin=5, density=0.15, capacity=None):
@@ -705,3 +709,51 @@ def test_zgroup_conv_matches_band():
                                                     cout, dims)))
             np.testing.assert_array_equal(np.asarray(got.occ),
                                           np.asarray(ref.occ))
+
+
+def test_extraction_capacity_overflow_audit():
+    """ADVICE r3 (medium): a stride-2 k3 conv EXPANDS isolated voxels (up
+    to 8 outputs each), so extraction capacity pinned to the input count
+    silently drops actives. active_count() must expose the true active
+    set so callers/tests can audit, and as_sparse at sufficient capacity
+    must capture every active the rulebook path produces."""
+    # 4 isolated voxels at ODD coords (stride-2 k3 p1: an odd coordinate
+    # feeds 2 output positions per axis -> 8 outputs per isolated voxel)
+    coords = np.array([[0, 3, 3, 3], [0, 11, 11, 11],
+                       [0, 3, 11, 3], [0, 11, 3, 11]], np.int32)
+    dims = (16, 16, 16)
+    n, cin = len(coords), 3
+    key = ((coords[:, 0] * dims[0] + coords[:, 1]) * dims[1]
+           + coords[:, 2]) * dims[2] + coords[:, 3]
+    order = np.argsort(key)
+    coords = coords[order]
+    rng = np.random.RandomState(3)
+    feats = rng.randn(n, cin).astype(np.float32)
+    st = SP.make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords),
+                               jnp.ones(n, bool), dims, 1)
+
+    layer_kw = dict(subm=False, stride=2, padding=1)
+    from seevcn_tpu.models.modules.backbone3d import SpConvLayer
+    sparse_layer = SpConvLayer(8, out_capacity=64, **layer_kw)
+    variables = sparse_layer.init({"params": jax.random.PRNGKey(0)}, st, False)
+    out_sparse = sparse_layer.apply(variables, st, False)
+    n_true = int(np.asarray(SP.active_count(out_sparse)))
+    assert n_true > n, n_true     # the expansion actually happened
+
+    # zfold execution of the same conv
+    zt = SP.to_zfold_tensor(st)
+    out_z = sparse_layer.apply(variables, zt, False)
+    assert int(np.asarray(SP.active_count(out_z))) == n_true
+
+    # undersized extraction (input count) drops actives; sized captures all
+    got_small = SP.as_sparse(out_z, 1, n)
+    assert int(np.asarray(got_small.mask.sum())) == n < n_true
+    got = SP.as_sparse(out_z, 1, 2 * n_true)
+    km_ref = np.asarray(SP.linear_key(out_sparse.coords,
+                                      out_sparse.spatial_shape,
+                                      out_sparse.mask))
+    km_got = np.asarray(SP.linear_key(got.coords, got.spatial_shape,
+                                      got.mask))
+    np.testing.assert_array_equal(
+        np.sort(km_ref[np.asarray(out_sparse.mask)]),
+        np.sort(km_got[np.asarray(got.mask)]))

@@ -1,4 +1,6 @@
 """Sharded training-step tests on the virtual 8-device CPU mesh."""
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -7,6 +9,8 @@ from seevcn_tpu.parallel.mesh import make_mesh, shard_batch, replicated
 from seevcn_tpu.train.train import create_train_state, make_train_step, shard_train_step
 from seevcn_tpu.models.detectors.second import build_detector
 from test_detector import _mini_cfg, _fake_batch
+
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
 
 
 def test_train_step_single_device():

@@ -1,10 +1,14 @@
 """UNetV2 sparse encoder-decoder + inverse sparse conv correctness."""
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from seevcn_tpu.ops import sparse as SP
 from test_sparse import _random_sparse, _dense_conv
+
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
 
 
 def test_inverse_conv_matches_dense_transpose_semantics():

@@ -13,6 +13,8 @@ from seevcn_tpu.models.vcn.metrics import MetricAccumulator, chamfer_metrics, f_
 from seevcn_tpu.models.vcn.runner import VCNTrainer
 from seevcn_tpu.utils.config import Cfg
 
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
+
 
 def test_cart_sph_roundtrip():
     rng = np.random.RandomState(0)

@@ -1,4 +1,6 @@
 """3D HTML scene viewer + PLY export (tools/visual_utils analog)."""
+import pytest
+
 import base64
 import json
 import re
@@ -6,6 +8,8 @@ import re
 import numpy as np
 
 from seevcn_tpu.utils.viz3d import _box_edges, export_ply, save_scene_html
+
+pytestmark = pytest.mark.slow  # heavy tier: full model/backbone builds
 
 
 def test_box_edges_geometry():
