@@ -115,6 +115,7 @@ class SECONDNetIoU(nn.Module):
             num_filters=tuple(b2.NUM_FILTERS),
             upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", ())),
             num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
+            dtype=b2.get("DTYPE", None),
             name="backbone_2d")(bev, train)
         bev2d = constrain_bev(bev2d)
 
@@ -256,6 +257,7 @@ class SECONDNet(nn.Module):
             num_filters=tuple(b2.NUM_FILTERS),
             upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", ())),
             num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
+            dtype=b2.get("DTYPE", None),
             name="backbone_2d")(bev, train)
         bev2d = constrain_bev(bev2d)
         logic = cfg.head_logic
@@ -333,6 +335,7 @@ class PointPillar(nn.Module):
             num_filters=tuple(b2.NUM_FILTERS),
             upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", ())),
             num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", ())),
+            dtype=b2.get("DTYPE", None),
             name="backbone_2d")(canvas, train)
         logic = cfg.head_logic
         head_out = build_anchor_head(mcfg.DENSE_HEAD, logic, cfg.num_class,

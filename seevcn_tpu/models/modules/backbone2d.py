@@ -21,6 +21,9 @@ class BaseBEVBackbone(nn.Module):
     num_filters: Sequence[int]
     upsample_strides: Sequence[int] = ()
     num_upsample_filters: Sequence[int] = ()
+    # conv compute dtype (BACKBONE_2D.DTYPE: bfloat16 for MXU training);
+    # params and BN statistics stay float32
+    dtype: str | None = None
 
     @property
     def num_bev_features(self) -> int:
@@ -30,21 +33,23 @@ class BaseBEVBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         ups = []
         for i, n_layers in enumerate(self.layer_nums):
             x = ConvBlock2d(self.num_filters[i], stride=self.layer_strides[i],
-                            name=f"block{i}_down")(x, train)
+                            dtype=dt, name=f"block{i}_down")(x, train)
             for k in range(n_layers):
-                x = ConvBlock2d(self.num_filters[i], name=f"block{i}_{k}")(x, train)
+                x = ConvBlock2d(self.num_filters[i], dtype=dt,
+                                name=f"block{i}_{k}")(x, train)
             if self.upsample_strides:
                 s = self.upsample_strides[i]
                 if s >= 1:
                     up = DeconvBlock2d(self.num_upsample_filters[i], stride=int(s),
-                                       name=f"deblock{i}")(x, train)
+                                       dtype=dt, name=f"deblock{i}")(x, train)
                 else:
                     inv = int(np.round(1 / s))
                     up = ConvBlock2d(self.num_upsample_filters[i], kernel=inv,
-                                     stride=inv, padding=0,
+                                     stride=inv, padding=0, dtype=dt,
                                      name=f"deblock{i}")(x, train)
                 ups.append(up)
             else:
@@ -52,5 +57,5 @@ class BaseBEVBackbone(nn.Module):
         out = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
         if len(self.upsample_strides) > len(self.layer_nums):
             out = DeconvBlock2d(out.shape[-1], stride=int(self.upsample_strides[-1]),
-                                name="deblock_final")(out, train)
+                                dtype=dt, name="deblock_final")(out, train)
         return out

@@ -41,19 +41,25 @@ class MaskedBatchNorm(nn.Module):
 
 
 class ConvBlock2d(nn.Module):
-    """Conv2d(bias=False) + BN(eps 1e-3, mom 0.01) + ReLU, NHWC."""
+    """Conv2d(bias=False) + BN(eps 1e-3, mom 0.01) + ReLU, NHWC.
+
+    ``dtype`` sets the conv COMPUTE dtype only (params stay float32; BN
+    statistics run in float32 because flax promotes back through the f32
+    scale/bias) — the MXU bf16 path for training at capacity."""
     features: int
     kernel: int = 3
     stride: int = 1
     padding: int | str = 1
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.padding if isinstance(self.padding, str) else \
             [(self.padding, self.padding)] * 2
+        dt = jnp.dtype(self.dtype) if self.dtype is not None else None
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding=pad,
-                    use_bias=False, name="conv")(x)
+                    use_bias=False, dtype=dt, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, name="bn")(x)
         return nn.relu(x)
@@ -63,12 +69,15 @@ class DeconvBlock2d(nn.Module):
     """ConvTranspose2d(bias=False) + BN + ReLU, NHWC."""
     features: int
     stride: int = 1
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = jnp.dtype(self.dtype) if self.dtype is not None else None
         x = nn.ConvTranspose(self.features, (self.stride, self.stride),
                              strides=(self.stride, self.stride), padding="VALID",
-                             use_bias=False, name="deconv")(x)
+                             use_bias=False, dtype=dt,
+                             name="deconv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, name="bn")(x)
         return nn.relu(x)
