@@ -119,6 +119,7 @@ class TDeepLabV3(nn.Module):
         return feats, logits
 
 
+@pytest.mark.slow
 def test_ddn_torch_parity():
     torch.manual_seed(0)
     num_classes = 11
@@ -178,6 +179,7 @@ def test_fg_mask_and_focal_loss():
     assert float(loss) > float(loss_plain)
 
 
+@pytest.mark.slow
 def test_caddn_with_deeplab_ddn():
     from seevcn_tpu.models.detectors.second import build_detector
     from seevcn_tpu.utils.config import Cfg

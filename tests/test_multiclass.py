@@ -1,5 +1,6 @@
 """Multi-class anchors/assignment (KITTI 3-class layout)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -78,6 +79,7 @@ def test_multiclass_anchor_layout_and_assignment():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_anchor_head_multi(tmp_path):
     """AnchorHeadMulti: grouped heads score only their classes; the scattered
     layout trains and decodes through the unchanged AnchorHeadLogic."""

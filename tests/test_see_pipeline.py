@@ -104,6 +104,7 @@ def _fake_vcn_seevcn():
     return see
 
 
+@pytest.mark.slow
 def test_gt_isolation_and_replacement():
     see = _fake_vcn_seevcn()
     rng = np.random.RandomState(0)

@@ -78,6 +78,7 @@ def _synthetic_batch(rng, cfg, b=2):
             jnp.asarray(gtv), jnp.asarray(gtm))
 
 
+@pytest.mark.slow
 def test_train_forward_and_loss_shapes():
     cfg = _tiny_cfg()
     model, logic = build_seg2d(cfg)

@@ -105,6 +105,7 @@ def test_train_synthetic_generalizes(tmp_path):
     assert hits >= 2, f"only {hits}/6 scenes produced a matching mask"
 
 
+@pytest.mark.slow
 def test_packed_wire_step_matches_full_precision():
     """The device-decoded wire format (f16 images + bit-packed masks +
     in-step rng counter) must take the same gradient step as full f32
