@@ -217,6 +217,12 @@ def train(args=None, cfg=None, stream=None, quiet=False):
             if not quiet:
                 print(f"step {it:5d} " + " ".join(
                     f"{k}={v:.3f}" for k, v in ev.items()), flush=True)
+            if args.out:
+                # checkpoint at every eval point so a long run killed
+                # mid-flight still leaves a usable artifact
+                save_seg2d_checkpoint(args.out, state, cfg)
+                if not quiet:
+                    print(f"saved {args.out} (step {it + 1})", flush=True)
 
     if args.out:
         save_seg2d_checkpoint(args.out, state, cfg)
