@@ -181,6 +181,10 @@ def cmd_train(args):
     cfg = da_detector_cfg(p, mode=args.mode)
     if args.bf16:
         cfg.MODEL.BACKBONE_3D["DTYPE"] = "bfloat16"
+    # remat is a pure recompute-vs-save scheduling knob (loss/params
+    # identical — tests/test_train_sharded.py::test_remat_policy_parity);
+    # "none" is ~30% faster when the activations fit (this mini grid does)
+    cfg.MODEL.BACKBONE_3D["REMAT"] = getattr(args, "remat", "layer")
     model, dcfg = build_detector(cfg)
 
     B = args.batch
@@ -214,9 +218,25 @@ def cmd_train(args):
         return inner(state, bp, d_val[idx], bg, r_step)
 
     os.makedirs(args.out, exist_ok=True)
+    ck_path = os.path.join(args.out, "ckpt.pkl")
+    start = 0
+    if getattr(args, "resume", False) and os.path.exists(ck_path):
+        # crash-resume (tunnel flakes kill long runs): the ckpt carries
+        # opt_state + step, and step2 folds rng from state.step, so the
+        # resumed trajectory continues the original sampling stream
+        with open(ck_path, "rb") as f:
+            ck = pickle.load(f)
+        if "opt_state" in ck and ck.get("total_steps") == args.steps:
+            state = state.replace(
+                step=jnp.asarray(ck["step"], jnp.int32),
+                params=jax.device_put(ck["params"]),
+                batch_stats=jax.device_put(ck["batch_stats"]),
+                opt_state=jax.device_put(ck["opt_state"]))
+            start = int(ck["step"])
+            print(f"resumed {ck_path} at step {start}", flush=True)
     t0 = time.time()
     losses = []
-    for it in range(args.steps):
+    for it in range(start, args.steps):
         state, metrics = step2(state)
         if (it + 1) % args.log_every == 0:
             loss = float(metrics["loss"])              # gates the stream
@@ -226,8 +246,10 @@ def cmd_train(args):
         if (it + 1) % args.ckpt_every == 0 or it + 1 == args.steps:
             ck = {"params": jax.device_get(state.params),
                   "batch_stats": jax.device_get(state.batch_stats),
-                  "step": int(it + 1), "cfg_mode": args.mode}
-            with open(os.path.join(args.out, "ckpt.pkl"), "wb") as f:
+                  "opt_state": jax.device_get(state.opt_state),
+                  "step": int(it + 1), "total_steps": args.steps,
+                  "cfg_mode": args.mode}
+            with open(ck_path, "wb") as f:
                 pickle.dump(ck, f)
     print(f"done: final losses {losses[-3:]}", flush=True)
 
@@ -336,10 +358,13 @@ def main(argv=None):
     t.add_argument("--steps", type=int, default=3000)
     t.add_argument("--batch", type=int, default=4)
     t.add_argument("--mode", default="zfold")
+    t.add_argument("--remat", default="layer",
+                   choices=["layer", "dots", "none"])
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log_every", type=int, default=50)
     t.add_argument("--ckpt_every", type=int, default=500)
+    t.add_argument("--resume", action="store_true")
     t.add_argument("--cpu", action="store_true")
     t.set_defaults(fn=cmd_train)
 

@@ -40,15 +40,21 @@ def main():
         gt[:, i] = [5 + 5 * i, (-1) ** i * 10, -1, 4.2, 2.0, 1.6, 0.3, 1]
     jp, jv, jg = jnp.asarray(pts), jnp.ones((B, P), bool), jnp.asarray(gt)
 
-    # (mode, 3D dtype, BEV dtype): the round-4 lever is bf16 in the BEV
-    # backbone + heads during training (VERDICT r3 #6)
-    for mode, dtype, bev_dtype in (
-            ("hybrid", "bfloat16", "bfloat16"),
-            ("zfold", "bfloat16", "bfloat16"),
-            ("hybrid", "bfloat16", "float32"),
-            ("zfold", "float32", "float32")):
+    # (mode, 3D dtype, BEV dtype, remat): round-4 levers are bf16 in the
+    # BEV backbone + heads during training (VERDICT r3 #6) and the remat
+    # policy — "layer" recomputes every conv in the backward (4x conv
+    # FLOPs fwd+bwd); "dots" saves conv outputs (minimal 3x); "none"
+    # saves everything
+    sweeps = [tuple(a.split(",")) for a in sys.argv[1:]] if len(sys.argv) > 1 else [
+        ("hybrid", "bfloat16", "bfloat16", "layer"),
+        ("hybrid", "bfloat16", "bfloat16", "dots"),
+        ("hybrid", "bfloat16", "bfloat16", "none"),
+        ("zfold", "bfloat16", "bfloat16", "dots"),
+    ]
+    for mode, dtype, bev_dtype, remat in sweeps:
         cfg.MODEL.BACKBONE_3D["MODE"] = mode
         cfg.MODEL.BACKBONE_3D["DTYPE"] = dtype
+        cfg.MODEL.BACKBONE_3D["REMAT"] = remat
         cfg.MODEL.BACKBONE_2D["DTYPE"] = bev_dtype
         cfg.DATA_CONFIG.DATA_PROCESSOR[0].MAX_NUMBER_OF_VOXELS["train"] = 80000
         model, dcfg = build_detector(cfg)
@@ -63,10 +69,11 @@ def main():
                 jp, 1e-4 * i), jv, jg, key) for i in range(3)]
             t = gated(lambda s, p, v, g, k: step(s, p, v, g, k)[1]["loss"],
                       inputs)
-            print(f"train step {mode} {dtype} bev={bev_dtype}: {t*1e3:.1f} ms", flush=True)
+            print(f"train step {mode} {dtype} bev={bev_dtype} "
+                  f"remat={remat}: {t*1e3:.1f} ms", flush=True)
         except Exception as e:
-            print(f"train step {mode} {dtype} bev={bev_dtype}: FAILED {str(e)[:160]}",
-                  flush=True)
+            print(f"train step {mode} {dtype} bev={bev_dtype} "
+                  f"remat={remat}: FAILED {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -97,6 +97,7 @@ class SECONDNetIoU(nn.Module):
             # DTYPE: bfloat16 halves dense HBM for training at capacity
             kw["mode"] = mcfg.BACKBONE_3D.get("MODE", "zfold")
             kw["dtype"] = mcfg.BACKBONE_3D.get("DTYPE", "float32")
+            kw["remat"] = mcfg.BACKBONE_3D.get("REMAT", "layer")
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d", **kw)(st, train)
 
@@ -239,7 +240,8 @@ class SECONDNet(nn.Module):
                     "VoxelResBackBone8x": VoxelResBackBone8x,
                     "VoxelBackBone8xFocal": VoxelBackBone8xFocal}[bb_name]
         kw = {"mode": mcfg.BACKBONE_3D.get("MODE", "zfold"),
-              "dtype": mcfg.BACKBONE_3D.get("DTYPE", "float32")} \
+              "dtype": mcfg.BACKBONE_3D.get("DTYPE", "float32"),
+              "remat": mcfg.BACKBONE_3D.get("REMAT", "layer")} \
             if bb_name in ("VoxelBackBone8x", "VoxelResBackBone8x") else {}
         bb_out = backbone(input_channels=cfg.num_point_features,
                           name="backbone_3d", **kw)(st, train)

@@ -61,6 +61,28 @@ class DenseMaskedBatchNorm(nn.Module):
         return y * occ[..., None].astype(y.dtype)
 
 
+def _remat_wrap(cls, remat: str):
+    """Wrap a layer class per the REMAT policy (dense execution modes only).
+
+    "layer": full per-layer remat — backward recomputes each layer's
+      forward (conv runs 4x FLOPs fwd+bwd instead of 3x) but only layer
+      INPUTS are saved. Required at eval capacity (dense f32 activations
+      are ~1.4 GB each; saving all intermediates needs 20.3 GB).
+    "dots": remat with the dots-saveable policy — conv/GEMM outputs are
+      saved, only cheap elementwise (BN/ReLU) recomputes, so convs run
+      the minimal 3x FLOPs. The right default at the 80k-voxel train
+      budget in bf16.
+    "none": no remat — everything XLA wants saved is saved.
+    """
+    if remat == "none":
+        return cls
+    if remat == "dots":
+        return nn.remat(
+            cls, static_argnums=(2,),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return nn.remat(cls, static_argnums=(2,))
+
+
 class SpConvLayer(nn.Module):
     """One sparse conv + masked BN + ReLU. Accepts a SparseTensor
     (rulebook gather-GEMM path) or a DenseTensor (masked dense conv3d on
@@ -158,6 +180,7 @@ class VoxelBackBone8x(nn.Module):
     dtype: str = "float32"      # dense-mode activation dtype; "bfloat16"
     # halves HBM (convs still accumulate f32) — needed to TRAIN at the
     # reference eval capacity on a 16 GB chip
+    remat: str = "layer"        # "layer" | "dots" | "none" (see _remat_wrap)
 
     @nn.compact
     def __call__(self, st, train: bool = False):
@@ -179,8 +202,9 @@ class VoxelBackBone8x(nn.Module):
             (self.capacities or [st.features.shape[0]] * 4)
         # dense activations at eval capacity are ~1.4 GB each — remat every
         # layer so the backward recomputes instead of saving all 12 of them
-        # (without this a B=1 train step needs 20.3 GB of 15.75 GB HBM)
-        Layer = nn.remat(SpConvLayer, static_argnums=(2,)) if dense \
+        # (without this a B=1 train step needs 20.3 GB of 15.75 GB HBM);
+        # the train budget (80k voxels, bf16, hybrid) fits REMAT: dots
+        Layer = _remat_wrap(SpConvLayer, self.remat) if dense \
             else SpConvLayer
 
         x = Layer(16, subm=True, padding=1, name="conv_input")(st, train)
@@ -247,6 +271,7 @@ class VoxelResBackBone8x(nn.Module):
     capacities: Sequence[int] | None = None
     mode: str = "sparse"        # "dense": masked conv3d (see VoxelBackBone8x)
     dtype: str = "float32"
+    remat: str = "layer"        # "layer" | "dots" | "none" (see _remat_wrap)
 
     @nn.compact
     def __call__(self, st, train: bool = False):
@@ -260,9 +285,9 @@ class VoxelResBackBone8x(nn.Module):
         dense = isinstance(st, (SP.DenseTensor, SP.ZFoldTensor))
         cap = [0] * 4 if dense else \
             (self.capacities or [st.features.shape[0]] * 4)
-        Layer = nn.remat(SpConvLayer, static_argnums=(2,)) if dense \
+        Layer = _remat_wrap(SpConvLayer, self.remat) if dense \
             else SpConvLayer
-        Block = nn.remat(SparseBasicBlock, static_argnums=(2,)) if dense \
+        Block = _remat_wrap(SparseBasicBlock, self.remat) if dense \
             else SparseBasicBlock
 
         x = Layer(16, subm=True, padding=1, name="conv_input")(st, train)

@@ -169,3 +169,33 @@ def test_lr_warmup_cosine():
     assert vals[5] < vals[15]                  # monotone ramp
     np.testing.assert_allclose(vals[20], 0.01, rtol=1e-5)  # reaches LR
     np.testing.assert_allclose(vals[60], 0.001, rtol=1e-5) # decayed at ep 5
+
+
+def test_remat_policy_parity():
+    """BACKBONE_3D.REMAT ("layer" | "dots" | "none") is a pure
+    recompute-vs-save scheduling knob — one train step must produce the
+    same loss and (numerically) the same updated params under all three
+    (backbone3d._remat_wrap)."""
+    results = {}
+    for remat in ("layer", "dots", "none"):
+        cfg = _mini_cfg()
+        cfg.MODEL.BACKBONE_3D["MODE"] = "hybrid"
+        cfg.MODEL.BACKBONE_3D["REMAT"] = remat
+        model, dcfg = build_detector(cfg)
+        rng = np.random.RandomState(0)
+        pts, valid, gt = _fake_batch(rng, b=1)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               pts, valid, train=False)
+        state = create_train_state(model, variables, _opt_cfg(),
+                                   total_steps=10)
+        step = make_train_step(model, donate=False)
+        s1, m1 = step(state, pts, valid, gt, jax.random.PRNGKey(3))
+        results[remat] = (float(m1["loss"]),
+                          jax.tree_util.tree_leaves(s1.params))
+    l0, p0 = results["layer"]
+    for remat in ("dots", "none"):
+        l, p = results[remat]
+        np.testing.assert_allclose(l, l0, rtol=1e-5)
+        for a, b in zip(p0, p):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
