@@ -81,3 +81,45 @@ class DeconvBlock2d(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, name="bn")(x)
         return nn.relu(x)
+
+
+class DeformConv2d(nn.Module):
+    """Deformable conv layer with self-predicted offsets (+ modulation when
+    ``modulated``) — the mmcv ``ModulatedDeformConvPack``/``DeformConvPack``
+    analog the reference's HTC-with-DCN backbone uses
+    (configs/htc/htc_x101_64x4d_fpn_dconv_c3-c5_*.py, `dcn=dict(type='DCN',
+    deform_groups=1)`). The offset conv is zero-initialized so the layer
+    starts as a plain convolution (v2 modulation starts at sigmoid(0)=0.5).
+    Compute lives in ops/dcn.py (4 bilinear-corner gathers + one MXU GEMM).
+    """
+    channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    deform_groups: int = 1
+    modulated: bool = False      # DCN (v1) by default, matching the config
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.dcn import modulated_deform_conv2d
+
+        k = self.kernel_size
+        K = k * k
+        dg = self.deform_groups
+        n_off = dg * K * (3 if self.modulated else 2)
+        om = nn.Conv(n_off, (k, k), strides=self.stride,
+                     padding=k // 2,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     name="offset_conv")(x)
+        offset = om[..., :dg * K * 2]
+        mask = jax.nn.sigmoid(om[..., dg * K * 2:]) if self.modulated \
+            else None
+        w = self.param("kernel", nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal"),
+            (k, k, x.shape[-1], self.channels))
+        b = self.param("bias", nn.initializers.zeros, (self.channels,)) \
+            if self.use_bias else None
+        return modulated_deform_conv2d(
+            x, offset, mask, w, b, stride=self.stride, padding=k // 2,
+            deform_groups=dg)

@@ -30,6 +30,7 @@ import numpy as np
 
 from ...geom.boxes import boxes_iou_normal
 from ...ops.nms import _greedy_suppress
+from ..modules.common import DeformConv2d
 from ..losses import binary_cross_entropy_with_logits, weighted_smooth_l1
 
 # box-delta variance weights (Detectron defaults)
@@ -42,6 +43,7 @@ BOX_W = (10.0, 10.0, 5.0, 5.0)
 class BasicBlock(nn.Module):
     channels: int
     stride: int = 1
+    dcn: bool = False    # deformable second conv (mmdet's with_dcn pattern)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -50,7 +52,10 @@ class BasicBlock(nn.Module):
                     use_bias=False)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.channels, (3, 3), use_bias=False)(y)
+        if self.dcn:
+            y = DeformConv2d(self.channels, kernel_size=3)(y)
+        else:
+            y = nn.Conv(self.channels, (3, 3), use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.channels, (1, 1), strides=self.stride,
@@ -61,10 +66,15 @@ class BasicBlock(nn.Module):
 
 
 class ResNetFPN(nn.Module):
-    """ResNet-18-style backbone + FPN. Returns P2..P6 (strides 4..64)."""
+    """ResNet-18-style backbone + FPN. Returns P2..P6 (strides 4..64).
+
+    ``dcn_stages`` marks stages whose blocks use a deformable second conv
+    — (False, True, True, True) reproduces the reference HTC backbone's
+    dconv_c3-c5 pattern (configs/htc/htc_x101_64x4d_fpn_dconv_c3-c5_*)."""
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     stage_channels: Sequence[int] = (64, 128, 256, 512)
     fpn_channels: int = 256
+    dcn_stages: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, images, train: bool = False):
@@ -77,6 +87,7 @@ class ResNetFPN(nn.Module):
         for i, (n, ch) in enumerate(zip(self.stage_sizes, self.stage_channels)):
             for j in range(n):
                 x = BasicBlock(ch, stride=2 if (j == 0 and i > 0) else 1,
+                               dcn=bool(self.dcn_stages[i]),
                                name=f"stage{i}_block{j}")(x, train)
             cs.append(x)                       # C2..C5, strides 4,8,16,32
 
@@ -267,6 +278,8 @@ class Seg2DConfig:
     stage_sizes: tuple = (2, 2, 2, 2)
     stage_channels: tuple = (64, 128, 256, 512)
     fpn_channels: int = 256
+    # dconv_c3-c5 = (False, True, True, True), as in the reference's HTC
+    dcn_stages: tuple = (False, False, False, False)
     box_hidden: int = 1024
     mask_channels: int = 256
     mask_convs: int = 4
@@ -441,6 +454,7 @@ class MaskRCNN(nn.Module):
         feats = ResNetFPN(stage_sizes=cfg.stage_sizes,
                           stage_channels=cfg.stage_channels,
                           fpn_channels=cfg.fpn_channels,
+                          dcn_stages=cfg.dcn_stages,
                           name="backbone")(images, train)   # P2..P6
         rpn = RPNHead(logic.num_anchors_per_loc, name="rpn")
         objs, boxes = zip(*[rpn(f) for f in feats])
