@@ -71,10 +71,61 @@ def wait_for_backend():
           file=sys.stderr)
 
 
+def chip_canary():
+    """Chip-health canary (VERDICT r4 #1/#3): a fixed-size bf16 GEMM
+    TFLOP/s probe + trivial-dispatch round-trip latency, recorded in the
+    output JSON. When a driver capture disagrees with a builder capture,
+    these two numbers say whether the chip/tunnel was degraded (canary
+    low/slow) or the pipeline regressed (canary healthy). TPU v5e peak is
+    ~394 bf16 TFLOP/s; a healthy tunnel round-trips a trivial dispatch in
+    ~10-20 ms; the round-4 driver capture (4.26 fps vs builder 6.35)
+    would have shown ~5-16x dispatch latency."""
+    import jax
+    import jax.numpy as jnp
+
+    N, CHAIN = 4096, 8
+    a = jnp.ones((N, N), jnp.bfloat16)
+    # row-stochastic b keeps the chained product at magnitude 1 (bf16)
+    b = jnp.full((N, N), 1.0 / N, jnp.bfloat16)
+
+    @jax.jit
+    def gemm_chain(x, m):
+        for _ in range(CHAIN):
+            x = x @ m
+        return x.sum()
+
+    float(gemm_chain(a, b))                       # compile + warm
+    reps, t0 = 3, time.time()
+    for i in range(reps):
+        out = gemm_chain(a + jnp.bfloat16(i * 2 ** -8), b)
+    float(out)                                    # gates the stream
+    dt = (time.time() - t0) / reps
+    tflops = CHAIN * 2 * N ** 3 / dt / 1e12
+
+    @jax.jit
+    def triv(x):
+        return x + 1.0
+
+    bufs = [jax.device_put(jnp.float32(i)) for i in range(8)]
+    float(triv(bufs[0]))                          # compile
+    lat = []
+    for z in bufs:
+        t0 = time.time()
+        float(triv(z))                            # dispatch+exec+readback
+        lat.append(time.time() - t0)
+    lat.sort()
+    dispatch_ms = lat[len(lat) // 2] * 1e3
+    print(f"canary: GEMM {tflops:.1f} bf16 TFLOP/s, "
+          f"dispatch round-trip {dispatch_ms:.1f} ms", file=sys.stderr)
+    return round(tflops, 1), round(dispatch_ms, 1)
+
+
 def main():
     wait_for_backend()
     import jax
     import jax.numpy as jnp
+
+    canary_tflops, canary_dispatch_ms = chip_canary()
 
     from __graft_entry__ import _flagship_detector_cfg
     from seevcn_tpu.models.detectors.second import (build_detector,
@@ -135,7 +186,10 @@ def main():
                                      surface_pts=1024)
         out = largest_cluster_batch(surface, eps=0.4, min_points=2,
                                     total_pts=1024)
-        return out, out.sum()
+        # production path includes the wrong-instance completion guard
+        sane = DP.completion_sanity_mask(pc, out, jnp.ones(out.shape[0],
+                                                           bool))
+        return out, sane, out.sum()
 
     # --- stage 4: replacement --------------------------------------------
     @jax.jit
@@ -172,8 +226,9 @@ def main():
     def frame_fused(seg_v, vcn_v, det_v, img, p, v):
         boxes, masks, scores = mask_stage(seg_v, img)
         iso, ok, s2 = see_stage(p[0], v[0], boxes, masks, scores)
-        completed, s3 = vcn_stage(vcn_v, iso)
-        new_pts, new_valid, s4 = replace_stage(p[0], v[0], completed, ok)
+        completed, sane, s3 = vcn_stage(vcn_v, iso)
+        new_pts, new_valid, s4 = replace_stage(p[0], v[0], completed,
+                                               ok & sane)
         pp, s5 = det_stage(det_v, new_pts[None], new_valid[None])
         return s2, s3, s4, s5
 
@@ -195,7 +250,8 @@ def main():
     stage_times = {}
     boxes, masks, scores = mask_stage(seg_vars, image)
     iso, ok, _ = see_stage(jp[0], jv[0], boxes, masks, scores)
-    completed, _ = vcn_stage(vcn_vars, iso)
+    completed, sane_c, _ = vcn_stage(vcn_vars, iso)
+    ok = ok & sane_c
     new_pts, new_valid, _ = replace_stage(jp[0], jv[0], completed, ok)
     det_in = [perturb(new_pts[None], 1e-4 * i) for i in range(n_iters)]
     _ = float(np.asarray(det_in[-1][0, 0, 2]))
@@ -204,7 +260,7 @@ def main():
          None),
         ("isolation", lambda i: see_stage(det_inputs[i][0], jv[0], boxes,
                                           masks, scores)[2], None),
-        ("vcn", lambda i: vcn_stage(vcn_vars, iso + 1e-4 * i)[1], None),
+        ("vcn", lambda i: vcn_stage(vcn_vars, iso + 1e-4 * i)[2], None),
         ("replace", lambda i: replace_stage(det_inputs[i][0], jv[0],
                                             completed, ok)[2], None),
         # distinct pre-built buffers like every other stage: identical
@@ -257,6 +313,15 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": None,
+        # chip-health canary (VERDICT r4 #3): THIS tunnel chip sustains
+        # ~20 TFLOP/s on a clean bf16 GEMM chain and ~15-30 ms dispatch
+        # round-trip (BASELINE.md); far below that means the capture ran
+        # on a degraded/contended tunnel, not a code regression
+        "canary_gemm_bf16_tflops": canary_tflops,
+        "canary_dispatch_roundtrip_ms": canary_dispatch_ms,
+        "pipelined_ms_per_frame": round(dt * 1e3, 1),
+        "serialized_ms_per_frame": round(dt_seq * 1e3, 1),
+        "stage_ms": {k: round(v * 1e3, 1) for k, v in stage_times.items()},
     }))
 
 

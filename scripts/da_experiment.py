@@ -87,14 +87,18 @@ def cmd_complete(args):
     from seevcn_tpu.ops.sampling import partial_mesh_batch
     from seevcn_tpu.see import device_pipeline as DP
 
-    vcn = build_vcn("VCN_VC")
+    model_name = getattr(args, "model", "VCN_VC")
+    vcn = build_vcn(model_name)
+    init_in = {"input": jnp.zeros((1, 1024, 3))}
+    if model_name == "VCN_CN":
+        init_in["gt_boxes"] = jnp.asarray([[0, 0, 0, 4.2, 1.9, 1.6, 0.0]],
+                                          jnp.float32)
     if args.vcn:
         with open(args.vcn, "rb") as f:
             d = pickle.load(f)
         vcn_vars = d.get("variables", d)
     else:
-        vcn_vars = vcn.init(jax.random.PRNGKey(0),
-                            {"input": jnp.zeros((1, 1024, 3))})
+        vcn_vars = vcn.init(jax.random.PRNGKey(0), init_in)
 
     @jax.jit
     def complete_frame(pts, valid, gt_boxes, gt_mask):
@@ -106,11 +110,20 @@ def cmd_complete(args):
         iso, ok = DP.isolate_and_resample(pts, member,
                                           max_instance_pts=2048,
                                           out_pts=1024)
-        ret = vcn.apply(vcn_vars, {"input": iso})
+        in_dict = {"input": iso}
+        if model_name == "VCN_CN":
+            # the reference completes the SOURCE domain with VCN-CN,
+            # canonicalizing by the GT box (VCN_CN.py:111-156) — no
+            # regressed-pose placement noise on the training side
+            in_dict["gt_boxes"] = gt_boxes[:, :7]
+        ret = vcn.apply(vcn_vars, in_dict)
         surface = partial_mesh_batch(iso, ret["coarse"], k=30,
                                      surface_pts=1024)
         completed = largest_cluster_batch(surface, eps=0.4, min_points=2,
                                           total_pts=1024)
+        # drop completions that left their observed points behind (VCN
+        # placement failure guard; BASELINE.md round-5 maskpath table)
+        ok = DP.completion_sanity_mask(iso, completed, ok, max_dist=2.0)
         new_pts, new_valid = DP.replace_with_completed(
             pts, valid, completed, ok, point_dist_thresh=0.1)
         # two stacked outputs (tunnel readbacks cost ~50-100 ms/array)
@@ -152,7 +165,8 @@ def cmd_complete(args):
         if (i + 1) % 16 == 0:
             print(f"  complete {i+1}/{n} ({time.time()-t0:.0f}s)",
                   flush=True)
-    out = args.set.replace(".npz", ".completed.npz")
+    out = getattr(args, "out", None) or args.set.replace(
+        ".npz", ".completed.npz")
     np.savez_compressed(out, points=out_pts, valid=out_val, gt_boxes=gtb,
                         gt_mask=gtm)
     ib = float(np.mean(inbox_fracs)) if inbox_fracs else float("nan")
@@ -198,7 +212,12 @@ def cmd_train(args):
     # whole dataset device-resident, batch sampling/flip ON DEVICE:
     # through the TPU tunnel any per-step host upload or tiny host op
     # costs 100-200 ms of dispatch — the step itself must be the only
-    # per-iteration work (verify-skill gotcha; profile_train.py pattern)
+    # per-iteration work (verify-skill gotcha; profile_train.py pattern).
+    # CRITICAL: the dataset arrays are jit ARGUMENTS, not closure
+    # captures — a closed-over device array is baked into the jaxpr as a
+    # constant and serialized into the remote_compile payload; at the
+    # 2,048-frame config that is ~540 MB and the tunnel rejects it with
+    # HTTP 413 (runs/da_tpu_runbook3.log — four runs died on it).
     gt8 = np.concatenate([gtb[..., :7], gtb[..., 7:8]], -1)
     d_pts = jax.device_put(pts)
     d_val = jax.device_put(val)
@@ -208,14 +227,14 @@ def cmd_train(args):
     flip_g = jnp.asarray([1, -1, 1, 1, 1, 1, -1, 1], jnp.float32)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step2(state):
+    def step2(state, dp, dv, dg):
         r = jax.random.fold_in(base, state.step)
         r_idx, r_flip, r_step = jax.random.split(r, 3)
         idx = jax.random.randint(r_idx, (B,), 0, n)
         flip = jax.random.bernoulli(r_flip)            # world y-flip
-        bp = d_pts[idx] * jnp.where(flip, flip_p, 1.0)
-        bg = d_gt[idx] * jnp.where(flip, flip_g, 1.0)
-        return inner(state, bp, d_val[idx], bg, r_step)
+        bp = dp[idx] * jnp.where(flip, flip_p, 1.0)
+        bg = dg[idx] * jnp.where(flip, flip_g, 1.0)
+        return inner(state, bp, dv[idx], bg, r_step)
 
     os.makedirs(args.out, exist_ok=True)
     ck_path = os.path.join(args.out, "ckpt.pkl")
@@ -223,9 +242,16 @@ def cmd_train(args):
     if getattr(args, "resume", False) and os.path.exists(ck_path):
         # crash-resume (tunnel flakes kill long runs): the ckpt carries
         # opt_state + step, and step2 folds rng from state.step, so the
-        # resumed trajectory continues the original sampling stream
-        with open(ck_path, "rb") as f:
-            ck = pickle.load(f)
+        # resumed trajectory continues the original sampling stream.
+        # A truncated pickle (kill mid-dump) falls back to a fresh start
+        # instead of crashing every retry (ADVICE r4 #1).
+        try:
+            with open(ck_path, "rb") as f:
+                ck = pickle.load(f)
+        except Exception as e:
+            print(f"resume skipped: {ck_path} unreadable ({e}); "
+                  "starting fresh", flush=True)
+            ck = {}
         if "opt_state" in ck and ck.get("total_steps") == args.steps:
             state = state.replace(
                 step=jnp.asarray(ck["step"], jnp.int32),
@@ -234,10 +260,33 @@ def cmd_train(args):
                 opt_state=jax.device_put(ck["opt_state"]))
             start = int(ck["step"])
             print(f"resumed {ck_path} at step {start}", flush=True)
+
+    from seevcn_tpu.utils import tunnel
+
     t0 = time.time()
     losses = []
     for it in range(start, args.steps):
-        state, metrics = step2(state)
+        try:
+            state, metrics = step2(state, d_pts, d_val, d_gt)
+        except Exception as e:
+            kind = tunnel.classify_tunnel_error(e)
+            if kind == "payload_too_large":
+                # deterministic — print the cause, never retry (r4 burned
+                # 4 blind retries / 47 min on this exact failure)
+                cb = None
+                try:
+                    cb = tunnel.jaxpr_const_bytes(step2, state, d_pts,
+                                                  d_val, d_gt)
+                except Exception:
+                    pass
+                print(tunnel.explain_tunnel_error(e, cb), flush=True)
+                raise SystemExit(tunnel.EXIT_PERMANENT)
+            if kind == "transient":
+                print(tunnel.explain_tunnel_error(e), flush=True)
+                print(f"(died at step {it}; re-run with --resume)",
+                      flush=True)
+                raise SystemExit(tunnel.EXIT_TRANSIENT)
+            raise
         if (it + 1) % args.log_every == 0:
             loss = float(metrics["loss"])              # gates the stream
             losses.append(loss)
@@ -249,8 +298,10 @@ def cmd_train(args):
                   "opt_state": jax.device_get(state.opt_state),
                   "step": int(it + 1), "total_steps": args.steps,
                   "cfg_mode": args.mode}
-            with open(ck_path, "wb") as f:
+            # atomic: a kill mid-dump must not destroy the resume artifact
+            with open(ck_path + ".tmp", "wb") as f:
                 pickle.dump(ck, f)
+            os.replace(ck_path + ".tmp", ck_path)
     print(f"done: final losses {losses[-3:]}", flush=True)
 
 
@@ -349,6 +400,12 @@ def main(argv=None):
     c = sub.add_parser("complete")
     c.add_argument("--set", required=True)
     c.add_argument("--vcn", default=None)
+    c.add_argument("--model", default="VCN_VC",
+                   choices=["VCN_VC", "VCN_CN"],
+                   help="VCN_CN = reference source-domain (GT-canonical) "
+                        "completion; VCN_VC = self-regressed pose")
+    c.add_argument("--out", default=None,
+                   help="output npz (default: <set>.completed.npz)")
     c.add_argument("--cpu", action="store_true")
     c.set_defaults(fn=cmd_complete)
 

@@ -56,7 +56,7 @@ EOF
     say "training $name (attempt $att)..."
     timeout 14400 python scripts/da_experiment.py train \
       --train "$trainset" --out "runs/da2/$name" \
-      --steps $STEPS --batch 4 --bf16 --resume \
+      --steps $STEPS --batch 4 --bf16 --remat none --resume \
       >> "runs/da2/$name.log" 2>&1
     say "$name rc=$?"
     wait_backend

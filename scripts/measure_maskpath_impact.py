@@ -76,6 +76,9 @@ def build_pipeline(vcn_ckpt=None):
                                      surface_pts=1024)
         completed = largest_cluster_batch(surface, eps=0.4, min_points=2,
                                           total_pts=1024)
+        # reject completions that left their observed points behind (the
+        # frame-0 wrong-instance failure, BASELINE.md round-5 table)
+        ok = DP.completion_sanity_mask(iso, completed, ok, max_dist=2.0)
         new_pts, new_valid = DP.replace_with_completed(
             pts, valid, completed, ok, point_dist_thresh=0.1)
         return member, iso, ok, completed, new_pts, new_valid

@@ -45,7 +45,15 @@ def main():
     # policy — "layer" recomputes every conv in the backward (4x conv
     # FLOPs fwd+bwd); "dots" saves conv outputs (minimal 3x); "none"
     # saves everything
-    sweeps = [tuple(a.split(",")) for a in sys.argv[1:]] if len(sys.argv) > 1 else [
+    def _parse_sweep(a):
+        parts = a.split(",")
+        if len(parts) != 4:
+            raise SystemExit(
+                f"bad sweep {a!r}: expected MODE,DTYPE3D,DTYPEBEV,REMAT "
+                "(e.g. hybrid,bfloat16,bfloat16,none)")
+        return tuple(parts)
+
+    sweeps = [_parse_sweep(a) for a in sys.argv[1:]] if len(sys.argv) > 1 else [
         ("hybrid", "bfloat16", "bfloat16", "layer"),
         ("hybrid", "bfloat16", "bfloat16", "dots"),
         ("hybrid", "bfloat16", "bfloat16", "none"),

@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--data", default="runs/da/vc_data")
     ap.add_argument("--out", default="runs/vcn_da")
+    ap.add_argument("--model", default="VCN_VC",
+                    choices=["VCN_VC", "VCN_CN"],
+                    help="VCN_CN trains the reference's source-domain "
+                         "(GT-canonical) model: coarse+partial losses only")
     ap.add_argument("--val_freq", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -42,14 +46,23 @@ def main(argv=None):
     from seevcn_tpu.models.vcn.runner import VCNTrainer
     from seevcn_tpu.utils.config import Cfg
 
+    if args.model == "VCN_CN":
+        losses = ["coarse", "partial"]
+        weights = [1.0, 1.0]
+    else:
+        losses = ["coarse", "partial", "translation", "rotation", "dims"]
+        weights = [1.0, 1.0, 10.0, 1.0, 1.0]
     cfg = Cfg({
-        "model": {"NAME": "VCN_VC"},
-        "losses": ["coarse", "partial", "translation", "rotation", "dims"],
-        "loss_weights": [1.0, 1.0, 10.0, 1.0, 1.0],
+        "model": {"NAME": args.model},
+        "losses": losses,
+        "loss_weights": weights,
         "optimizer": {"type": "Adam", "kwargs": {"lr": 1e-3}},
-        # decay slower than the r3 recipe: 60-epoch budget
-        "scheduler": {"type": "StepLR",
-                      "kwargs": {"step_size": 120, "gamma": 0.75}},
+        # r4 post-mortem: the StepLR(120, 0.75) config resolved to a
+        # 4,920-step staircase on a 4,140-step run — the lr NEVER decayed,
+        # which (with the unfolded rotation target) is why the rotation
+        # loss oscillated 0.4-0.9 for the last 15 epochs. Cosine one-cycle
+        # decays to ~0 by the end of whatever budget is passed.
+        "scheduler": {"type": "OneCycleLR", "kwargs": {}},
     })
     # LidarSimulation still applies on top of the ring-structured partials:
     # it emulates FURTHER beam reduction, widening the density range

@@ -9,6 +9,7 @@ egress for pretrained downloads).
 """
 from __future__ import annotations
 
+import os
 import pickle
 from functools import partial
 
@@ -154,7 +155,10 @@ class JaxMaskRCNNBackend:
 def save_seg2d_checkpoint(path: str, state, cfg: Seg2DConfig):
     import jax
 
-    with open(path, "wb") as f:
+    # atomic: eval-point checkpointing overwrites the only artifact in
+    # place; a kill mid-dump must not destroy it (tmp + os.replace)
+    with open(path + ".tmp", "wb") as f:
         pickle.dump({"params": jax.device_get(state["params"]),
                      "batch_stats": jax.device_get(state["batch_stats"]),
                      "cfg": cfg}, f)
+    os.replace(path + ".tmp", path)

@@ -173,7 +173,18 @@ class VCNVC(nn.Module):
         pred_box = get_bbox_from_keypoints(ret["coarse"], gt)
         losses["dims"] = smooth_l1(gt[:, 3:6], pred_box[:, 3:6]).mean()
         losses["translation"] = smooth_l1(gt[:, :3], ret["reg_centre"]).mean()
-        losses["rotation"] = T.geodesic_distance(ret["reg_rot"], T.rot_z(gt[:, -1])).mean()
+        # Symmetry-folded geodesic target: car footprints are near
+        # pi-symmetric, so partial scans carry a heading ambiguity of pi.
+        # An unfolded target makes flipped samples contribute ~pi-sized
+        # gradients that fight the correctly-oriented ones (round-4 run:
+        # rotation loss oscillated 0.4-0.9 for 15 epochs at ROT_ERR_RAW
+        # ~0.88 while symmetric ROT_ERR sat at 0.32). Folding matches the
+        # reference's intent of a flip-insensitive angle treatment (its
+        # sin-based loss, models/vcn/utils/losses.py:33-45) and the box
+        # IoU downstream is invariant to heading+pi anyway.
+        g0 = T.geodesic_distance(ret["reg_rot"], T.rot_z(gt[:, -1]))
+        g1 = T.geodesic_distance(ret["reg_rot"], T.rot_z(gt[:, -1] + jnp.pi))
+        losses["rotation"] = jnp.minimum(g0, g1).mean()
         ds_complete = fps(in_dict["complete"], ret["coarse"].shape[1])
         losses["coarse"] = chamfer_l2(ret["coarse"], ds_complete)
         pred_surface = partial_mesh_batch(in_dict["input"], ret["coarse"], k=self.sel_k)

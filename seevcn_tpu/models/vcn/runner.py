@@ -181,9 +181,12 @@ class VCNTrainer:
         path = os.path.join(self.work_dir, f"{name}.pkl")
         host = jax.tree.map(np.asarray, {k: state[k] for k in
                                          ("params", "batch_stats")})
-        with open(path, "wb") as f:
+        # atomic (tmp + replace): a kill mid-dump must not destroy the
+        # previous checkpoint this run would otherwise resume from
+        with open(path + ".tmp", "wb") as f:
             pickle.dump({"variables": host, "epoch": epoch,
                          "best_metrics": self.best}, f)
+        os.replace(path + ".tmp", path)
         # reference-format .pth so reference tooling / our importer read it back
         try:
             self.export_reference_pth(state,

@@ -26,6 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.chamfer import chamfer_sq
 from ..ops.clustering import dbscan, largest_cluster_mask
 from ..ops.sampling import tile_to_n, within_radius_mask
 
@@ -226,6 +227,32 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
         return out, ok
 
     return jax.vmap(one)(inst_idx)
+
+
+def completion_sanity_mask(observed: jax.Array, completed: jax.Array,
+                           inst_valid: jax.Array,
+                           max_dist: float = 2.0) -> jax.Array:
+    """Reject completions that left their observed instance behind.
+
+    observed (D, N, 3) isolated instance points (zero rows = padding),
+    completed (D, K, 3), inst_valid (D,) -> (D,) bool, False where the
+    mean nearest-observed-point distance of the completed surface exceeds
+    ``max_dist`` meters.
+
+    Guards the failure measured in runs/maskpath_base_r4.log frame 0: a
+    wrong-instance mask association fed VCN an inconsistent point set and
+    the regressed pose placed the completed surface 29 m from the GT car
+    (in-box fraction 0.000). A completion that is not within a couple of
+    meters of the points it was predicted FROM can only hurt the spliced
+    cloud — the reference has no analog because its per-object CPU path
+    never exhibits this (o3d cluster + cKDTree keep association local;
+    cf. SEE_VCN.py:247-265 replace semantics).
+    """
+    obs_valid = jnp.any(observed != 0.0, axis=-1)              # (D, N)
+    d1, _ = chamfer_sq(completed, observed, valid2=obs_valid)  # (D, K)
+    mean_nn = jnp.sqrt(jnp.maximum(d1, 0.0)).mean(axis=-1)     # (D,)
+    has_obs = obs_valid.any(axis=-1)
+    return inst_valid & has_obs & (mean_nn <= max_dist)
 
 
 def replace_with_completed(points: jax.Array, valid: jax.Array,

@@ -174,3 +174,29 @@ def test_mask_shrink_reduces_membership():
     # box-center pixel stays a member
     ci = np.argmin(np.abs(uu.ravel() - 40) + np.abs(vv.ravel() - 30))
     assert m3[0, ci]
+
+
+def test_completion_sanity_mask():
+    """Guard for the round-4 frame-0 failure: a completion placed tens of
+    meters from its observed instance points must be rejected; a
+    completion hugging its observed points must pass (BASELINE.md
+    round-5 maskpath table)."""
+    rng = np.random.RandomState(1)
+    obs = np.zeros((3, 64, 3), np.float32)
+    obs[0] = rng.randn(64, 3) * 0.3 + [10, 0, 0]    # car at 10 m
+    obs[1] = rng.randn(64, 3) * 0.3 + [20, 5, 0]    # car at ~21 m
+    # instance 2: all-zero padding rows (no observed points)
+    comp = np.zeros((3, 128, 3), np.float32)
+    comp[0] = rng.randn(128, 3) * 0.5 + [10, 0, 0]  # good placement
+    comp[1] = rng.randn(128, 3) * 0.5 + [49, 5, 0]  # 29 m off (frame 0)
+    comp[2] = rng.randn(128, 3) * 0.5 + [10, 0, 0]
+    inst_valid = np.array([True, True, True])
+    sane = np.asarray(DP.completion_sanity_mask(
+        jnp.asarray(obs), jnp.asarray(comp), jnp.asarray(inst_valid),
+        max_dist=2.0))
+    assert sane.tolist() == [True, False, False]
+    # respects incoming inst_valid
+    sane2 = np.asarray(DP.completion_sanity_mask(
+        jnp.asarray(obs), jnp.asarray(comp),
+        jnp.asarray(np.array([False, True, True])), max_dist=2.0))
+    assert sane2.tolist() == [False, False, False]

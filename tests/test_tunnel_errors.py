@@ -1,0 +1,95 @@
+"""Tunnel failure classification (VERDICT r4 #5).
+
+Round 4's da2 scale-up died four times on a deterministic
+`remote_compile HTTP 413` that blind retries could never fix. The train
+path now classifies backend failures — permanent payload overflows fail
+fast with the cause printed; transient tunnel flakes exit with a
+distinct code the runbook retries with --resume.
+"""
+import numpy as np
+import pytest
+
+from seevcn_tpu.utils import tunnel
+
+
+# the literal messages from runs/da_tpu_runbook3.log and bench captures
+MSG_413 = ("INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 413: "
+           "Failed to buffer the request body: length limit exceeded")
+MSG_UNAVAILABLE = ("UNAVAILABLE: failed to connect to all addresses; "
+                   "last error: UNKNOWN")
+
+
+def test_classify_payload_too_large():
+    assert tunnel.classify_tunnel_error(RuntimeError(MSG_413)) == \
+        "payload_too_large"
+
+
+def test_classify_transient():
+    assert tunnel.classify_tunnel_error(RuntimeError(MSG_UNAVAILABLE)) == \
+        "transient"
+    for msg in ("HTTP 503: service unavailable",
+                "Connection reset by peer",
+                "DEADLINE_EXCEEDED: timed out"):
+        assert tunnel.classify_tunnel_error(RuntimeError(msg)) == "transient"
+
+
+def test_classify_other():
+    assert tunnel.classify_tunnel_error(ValueError("shape mismatch")) == \
+        "other"
+
+
+def test_explain_mentions_const_bytes():
+    text = tunnel.explain_tunnel_error(RuntimeError(MSG_413),
+                                       const_bytes=540_000_000)
+    assert "PERMANENT" in text and "540 MB" in text
+    assert "retry" in text.lower()
+
+
+def test_jaxpr_const_bytes_flags_closure_capture():
+    """The 413 mechanism itself: a closed-over array becomes a jaxpr
+    constant (counted); the same array passed as an argument does not."""
+    import jax.numpy as jnp
+
+    big = jnp.asarray(np.ones((1000, 100), np.float32))
+
+    def closes_over(x):
+        return (big * x).sum()
+
+    def takes_arg(b, x):
+        return (b * x).sum()
+
+    x = jnp.ones(())
+    assert tunnel.jaxpr_const_bytes(closes_over, x) >= 400_000
+    assert tunnel.jaxpr_const_bytes(takes_arg, big, x) < 4_000
+
+
+def test_train_step2_has_no_large_constants():
+    """Regression guard for the exact r4 failure: the DA train step must
+    not bake the dataset into its jaxpr. Build a tiny version of
+    cmd_train's step function and assert its constant payload stays
+    small even with a 'large' dataset array in scope."""
+    import jax
+    import jax.numpy as jnp
+
+    n, p, B = 64, 512, 4
+    d_pts = jnp.zeros((n, p, 3), jnp.float32)
+    d_val = jnp.ones((n, p), bool)
+    d_gt = jnp.zeros((n, 12, 8), jnp.float32)
+    base = jax.random.PRNGKey(0)
+    flip_p = jnp.asarray([1.0, -1.0, 1.0], jnp.float32)
+    flip_g = jnp.asarray([1, -1, 1, 1, 1, 1, -1, 1], jnp.float32)
+
+    # mirrors scripts/da_experiment.py cmd_train.step2's signature: data
+    # enters as arguments, so consts are only the rng key + flip vectors
+    def step2(step, dp, dv, dg):
+        r = jax.random.fold_in(base, step)
+        r_idx, r_flip, _ = jax.random.split(r, 3)
+        idx = jax.random.randint(r_idx, (B,), 0, n)
+        flip = jax.random.bernoulli(r_flip)
+        bp = dp[idx] * jnp.where(flip, flip_p, 1.0)
+        bg = dg[idx] * jnp.where(flip, flip_g, 1.0)
+        return bp.sum() + bg.sum() + dv[idx].sum()
+
+    cb = tunnel.jaxpr_const_bytes(step2, jnp.zeros((), jnp.int32),
+                                  d_pts, d_val, d_gt)
+    assert cb < 1_000, f"step closes over {cb} bytes of constants"
