@@ -114,8 +114,13 @@ def cmd_complete(args):
         if model_name == "VCN_CN":
             # the reference completes the SOURCE domain with VCN-CN,
             # canonicalizing by the GT box (VCN_CN.py:111-156) — no
-            # regressed-pose placement noise on the training side
-            in_dict["gt_boxes"] = gt_boxes[:, :7]
+            # regressed-pose placement noise on the training side.
+            # Padding rows have all-zero boxes; clamp dims so the
+            # canonicalization never divides by zero (those instances are
+            # already ok=False and their output is dropped).
+            g7 = gt_boxes[:, :7]
+            g7 = g7.at[:, 3:6].set(jnp.maximum(g7[:, 3:6], 0.1))
+            in_dict["gt_boxes"] = g7
         ret = vcn.apply(vcn_vars, in_dict)
         surface = partial_mesh_batch(iso, ret["coarse"], k=30,
                                      surface_pts=1024)

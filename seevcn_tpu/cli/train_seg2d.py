@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--eval_scenes", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--hard", action="store_true",
+                   help="far-instance/occlusion scene regime (train AND "
+                        "eval); eval always reports far/near AP buckets")
     return p.parse_args(argv)
 
 
@@ -58,14 +61,15 @@ def build_cfg(args):
     return Seg2DConfig(image_size=tuple(args.image_size), **SIZES[args.size])
 
 
-def synthetic_stream(cfg, batch, seed):
+def synthetic_stream(cfg, batch, seed, hard=False):
     import numpy as np
 
     from ..models.seg2d.synthetic import synth_batch
 
     rng = np.random.RandomState(seed)
     while True:
-        yield synth_batch(rng, cfg.image_size, batch, max_gt=cfg.max_gt)
+        yield synth_batch(rng, cfg.image_size, batch, max_gt=cfg.max_gt,
+                          hard=hard)
 
 
 def coco_stream(cfg, batch, root, seed):
@@ -115,8 +119,15 @@ def coco_stream(cfg, batch, root, seed):
         yield imgs, gtb, gtl, gtv, gtm
 
 
-def evaluate(model, variables, cfg, n_scenes, seed):
-    """Held-out synthetic mask/box AP."""
+def evaluate(model, variables, cfg, n_scenes, seed, hard=False):
+    """Held-out synthetic mask/box AP, plus far/near distance buckets.
+
+    Buckets follow the COCO area-range protocol re-expressed as GT bbox
+    pixel height (height ~ 1/distance under perspective; coco_eval
+    height_range ignore semantics): far = height < h/8, near = rest. The
+    far bucket is the regime the reference runs HTC at ~1400 px for
+    (kitti_masks.sh:10-11).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -130,7 +141,8 @@ def evaluate(model, variables, cfg, n_scenes, seed):
     preds, gts = [], []
     for _ in range(n_scenes):
         img, boxes, labels, valid, masks = synth_scene(h, w, rng,
-                                                       max_gt=cfg.max_gt)
+                                                       max_gt=cfg.max_gt,
+                                                       hard=hard)
         out = fwd(variables, jnp.asarray(img[None]))
         db = np.asarray(out["det_boxes"][0])
         ds = np.asarray(out["det_scores"][0])
@@ -154,8 +166,15 @@ def evaluate(model, variables, cfg, n_scenes, seed):
                     "labels": labels[valid]})
     mask_ap = evaluate_instances(preds, gts, kind="mask")
     box_ap = evaluate_instances(preds, gts, kind="box")
+    far_h = h / 8.0
+    mask_far = evaluate_instances(preds, gts, kind="mask",
+                                  height_range=(0.0, far_h))
+    mask_near = evaluate_instances(preds, gts, kind="mask",
+                                   height_range=(far_h, float("inf")))
     return {"mask_AP50": mask_ap["AP50"], "mask_AP": mask_ap["AP"],
-            "box_AP50": box_ap["AP50"], "box_AP": box_ap["AP"]}
+            "box_AP50": box_ap["AP50"], "box_AP": box_ap["AP"],
+            "mask_AP50_far": mask_far["AP50"],
+            "mask_AP50_near": mask_near["AP50"]}
 
 
 def train(args=None, cfg=None, stream=None, quiet=False):
@@ -186,7 +205,8 @@ def train(args=None, cfg=None, stream=None, quiet=False):
     if stream is None:
         stream = coco_stream(cfg, args.batch_size, args.coco_dir, args.seed) \
             if args.coco_dir else \
-            synthetic_stream(cfg, args.batch_size, args.seed)
+            synthetic_stream(cfg, args.batch_size, args.seed,
+                             hard=getattr(args, "hard", False))
     rng = jax.random.PRNGKey(args.seed)
 
     # wire compression (decoded on device by the step — see
@@ -213,7 +233,8 @@ def train(args=None, cfg=None, stream=None, quiet=False):
         if args.eval_every and it > 0 and (it + 1) % args.eval_every == 0:
             ev = evaluate(model, {"params": state["params"],
                                   "batch_stats": state["batch_stats"]},
-                          cfg, args.eval_scenes, args.seed)
+                          cfg, args.eval_scenes, args.seed,
+                          hard=getattr(args, "hard", False))
             if not quiet:
                 print(f"step {it:5d} " + " ".join(
                     f"{k}={v:.3f}" for k, v in ev.items()), flush=True)
@@ -236,7 +257,8 @@ def main(argv=None):
     state, model, cfg = train(args)
     ev = evaluate(model, {"params": state["params"],
                           "batch_stats": state["batch_stats"]},
-                  cfg, args.eval_scenes, args.seed)
+                  cfg, args.eval_scenes, args.seed,
+                  hard=getattr(args, "hard", False))
     print(json.dumps(ev))
 
 

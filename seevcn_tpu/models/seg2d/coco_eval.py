@@ -54,11 +54,19 @@ def _ap_from_matches(scores, matched, n_gt):
 
 
 def evaluate_instances(predictions, ground_truths, iou_thresholds=None,
-                       kind="mask"):
+                       kind="mask", height_range=None):
     """predictions: list per image of dicts {masks (D,H,W) bool / boxes
     (D,4), scores (D,), labels (D,)}; ground_truths: same with valid masks
     only. Returns {"AP50": .., "AP": .., "per_thresh": {t: ap}} averaged
     over classes present in gt.
+
+    ``height_range=(lo, hi)`` restricts evaluation to GT instances whose
+    bbox pixel height is in [lo, hi) — the distance-bucket analog of the
+    COCO area ranges (bbox height ~ 1/distance under perspective), with
+    COCO's ignore semantics: out-of-bucket GTs are IGNORED, and a
+    detection is dropped from scoring (neither TP nor FP) if it matches an
+    ignored GT at the threshold, or is unmatched with its own height
+    outside the bucket. Both dicts need "boxes" when a range is given.
     """
     if iou_thresholds is None:
         iou_thresholds = np.arange(0.5, 1.0, 0.05)
@@ -69,7 +77,15 @@ def evaluate_instances(predictions, ground_truths, iou_thresholds=None,
         for c in classes:
             scores, matched, n_gt = [], [], 0
             for pred, gt in zip(predictions, ground_truths):
-                g_sel = np.asarray(gt["labels"]) == c
+                g_cls = np.asarray(gt["labels"]) == c
+                if height_range is not None:
+                    gh = (np.asarray(gt["boxes"])[:, 3] -
+                          np.asarray(gt["boxes"])[:, 1])
+                    in_b = (gh >= height_range[0]) & (gh < height_range[1])
+                    g_sel = g_cls & in_b
+                    g_ign = g_cls & ~in_b
+                else:
+                    g_sel, g_ign = g_cls, np.zeros_like(g_cls)
                 n_g = int(g_sel.sum())
                 n_gt += n_g
                 p_sel = np.asarray(pred["labels"]) == c
@@ -77,13 +93,24 @@ def evaluate_instances(predictions, ground_truths, iou_thresholds=None,
                 if p_scores.size == 0:
                     continue
                 if kind == "mask":
-                    iou = mask_iou(np.asarray(pred["masks"])[p_sel],
-                                   np.asarray(gt["masks"])[g_sel]) \
+                    pm = np.asarray(pred["masks"])[p_sel]
+                    gm = np.asarray(gt["masks"])
+                    iou = mask_iou(pm, gm[g_sel]) \
                         if n_g else np.zeros((p_scores.size, 0))
+                    iou_ign = mask_iou(pm, gm[g_ign]) \
+                        if g_ign.any() else np.zeros((p_scores.size, 0))
                 else:
-                    iou = box_iou_xyxy(np.asarray(pred["boxes"])[p_sel],
-                                       np.asarray(gt["boxes"])[g_sel]) \
+                    pb = np.asarray(pred["boxes"])[p_sel]
+                    gb = np.asarray(gt["boxes"])
+                    iou = box_iou_xyxy(pb, gb[g_sel]) \
                         if n_g else np.zeros((p_scores.size, 0))
+                    iou_ign = box_iou_xyxy(pb, gb[g_ign]) \
+                        if g_ign.any() else np.zeros((p_scores.size, 0))
+                if height_range is not None:
+                    p_boxes = np.asarray(pred["boxes"])[p_sel]
+                    ph = p_boxes[:, 3] - p_boxes[:, 1]
+                    p_in_b = (ph >= height_range[0]) & \
+                             (ph < height_range[1])
                 order = np.argsort(-p_scores)
                 taken = np.zeros(n_g, bool)
                 for pi in order:
@@ -93,6 +120,12 @@ def evaluate_instances(predictions, ground_truths, iou_thresholds=None,
                         if iou[pi, j] >= t and not taken[j]:
                             taken[j] = True
                             is_tp = True
+                    if not is_tp and height_range is not None:
+                        # ignore: matches an out-of-bucket GT, or is an
+                        # unmatched detection outside the bucket itself
+                        if (iou_ign.shape[1] and iou_ign[pi].max() >= t) \
+                                or not p_in_b[pi]:
+                            continue
                     scores.append(p_scores[pi])
                     matched.append(is_tp)
             ap = _ap_from_matches(scores, matched, n_gt)

@@ -89,10 +89,19 @@ def draw_distractor(h, w, rng):
     return mask, color
 
 
-def synth_scene(h, w, rng, max_gt=8, n_cars=None, min_pixels=24):
+def synth_scene(h, w, rng, max_gt=8, n_cars=None, min_pixels=24,
+                hard=False):
     """One scene. Returns (img (h, w, 3) float32 ~N(0,1) scale, boxes
     (max_gt, 4) xyxy, labels (max_gt,), valid (max_gt,), masks
-    (max_gt, h, w))."""
+    (max_gt, h, w)).
+
+    ``hard=True`` is the far-instance/occlusion regime HTC's ~1400 px
+    inputs exist for (kitti_masks.sh:10-11): log-uniform scales down to
+    0.22 (cars ~8-13 px wide — distant KITTI cars at this resolution),
+    perspective placement (small cars sit near the horizon), more cars
+    drawn far-to-near so near cars occlude far ones, and more
+    distractors. min_pixels drops to 12 so far instances stay annotated.
+    """
     # background: sky gradient + road + noise texture
     sky = rng.uniform(0.5, 0.9, 3)
     road = rng.uniform(0.2, 0.45)
@@ -108,21 +117,43 @@ def synth_scene(h, w, rng, max_gt=8, n_cars=None, min_pixels=24):
         img[horizon + 2:, lx:lx + 2] = 0.9
 
     # distractors (background class — drawn but not annotated)
-    for _ in range(rng.randint(0, 4)):
+    for _ in range(rng.randint(2, 7) if hard else rng.randint(0, 4)):
         m, c = draw_distractor(h, w, rng)
         shade = rng.uniform(0.85, 1.15)
         img[m] = c * shade
 
-    n = rng.randint(1, max_gt) if n_cars is None else n_cars
+    if hard:
+        min_pixels = min(min_pixels, 12)
+    n = (rng.randint(2, max_gt + 1) if hard else rng.randint(1, max_gt)) \
+        if n_cars is None else n_cars
     boxes = np.zeros((max_gt, 4), np.float32)
     labels = np.zeros((max_gt,), np.int32)
     valid = np.zeros((max_gt,), bool)
     masks = np.zeros((max_gt, h, w), np.float32)
 
+    if hard:
+        # far-to-near: sorted ascending scale so later (nearer, larger)
+        # cars occlude earlier (farther) ones, like the 3D generator
+        scales = np.sort(np.exp(rng.uniform(np.log(0.22), np.log(1.8), n)))
     drawn = []
-    for _ in range(n):
-        scale = rng.uniform(0.6, 1.8)
-        m, c = draw_car(h, w, rng, scale=scale, flip=rng.rand() < 0.5)
+    for ci in range(n):
+        if hard:
+            scale = float(scales[ci])
+            # perspective: small (far) cars sit near the horizon, large
+            # (near) ones low in the image
+            t_near = (np.log(scale) - np.log(0.22)) / (np.log(1.8) -
+                                                       np.log(0.22))
+            # cars sit on the road: far (t_near=0) hug the horizon, near
+            # (t_near=1) sit low in the frame, with a little jitter
+            y_c = horizon + t_near * (int(h * 0.85) - horizon)
+            jit = max(int(h * 0.03), 1)
+            y0 = int(np.clip(y_c + rng.randint(-jit, jit + 1),
+                             horizon - 2, h - 8))
+            m, c = draw_car(h, w, rng, scale=scale, flip=rng.rand() < 0.5,
+                            y0=y0)
+        else:
+            scale = rng.uniform(0.6, 1.8)
+            m, c = draw_car(h, w, rng, scale=scale, flip=rng.rand() < 0.5)
         # shading: vertical gradient + highlight
         shade = 1.0 - 0.3 * (np.arange(h) / h)[:, None]
         for ch_i in range(3):
@@ -163,10 +194,11 @@ def scene_to_bgr(img_norm: np.ndarray) -> np.ndarray:
     return (rgb[..., ::-1] * 255).astype(np.uint8)
 
 
-def synth_batch(rng, image_size, batch, max_gt=8):
+def synth_batch(rng, image_size, batch, max_gt=8, hard=False):
     """Batch of scenes, stacked. numpy outputs (caller moves to device)."""
     h, w = image_size
-    out = [synth_scene(h, w, rng, max_gt=max_gt) for _ in range(batch)]
+    out = [synth_scene(h, w, rng, max_gt=max_gt, hard=hard)
+           for _ in range(batch)]
     return tuple(np.stack(x) for x in zip(*out))
 
 

@@ -153,3 +153,62 @@ def test_overfit_synthetic_rectangles(tmp_path):
     coco = json.loads(out_json.read_text())
     assert coco["annotations"], "no COCO annotations written"
     assert coco["annotations"][0]["segmentation"]
+
+
+def test_synth_scene_hard_has_far_instances():
+    """hard=True must actually produce the far regime: small instances
+    (bbox height < h/8) present at a meaningful rate, placed above the
+    near ones (perspective)."""
+    from seevcn_tpu.models.seg2d.synthetic import synth_scene
+
+    rng = np.random.RandomState(0)
+    h, w = 384, 512
+    far, total = 0, 0
+    for _ in range(20):
+        _, boxes, _, valid, _ = synth_scene(h, w, rng, hard=True)
+        bh = boxes[valid][:, 3] - boxes[valid][:, 1]
+        far += int((bh < h / 8).sum())
+        total += int(valid.sum())
+    assert total > 30
+    assert far >= total * 0.2, f"only {far}/{total} far instances"
+
+
+def test_bucketed_ap_ignore_semantics():
+    """height_range buckets follow COCO ignore rules: a perfect far-only
+    predictor scores AP50=1.0 on the far bucket even though it misses
+    every near instance, and 0 on the near bucket."""
+    from seevcn_tpu.models.seg2d.coco_eval import evaluate_instances
+
+    h, w = 96, 128
+    def inst(x, y, bw, bh):
+        m = np.zeros((h, w), bool)
+        m[y:y + bh, x:x + bw] = True
+        return m, [x, y, x + bw, y + bh]
+
+    m_far, b_far = inst(10, 10, 8, 6)       # height 6 < 96/8
+    m_near, b_near = inst(40, 40, 40, 30)   # height 30
+    gt = [{"masks": np.stack([m_far, m_near]),
+           "boxes": np.array([b_far, b_near], np.float32),
+           "labels": np.array([0, 0])}]
+    pred_far_only = [{"masks": m_far[None], 
+                      "boxes": np.array([b_far], np.float32),
+                      "scores": np.array([0.9]), "labels": np.array([0])}]
+    far_r = (0.0, h / 8)
+    near_r = (h / 8, float("inf"))
+    ap_far = evaluate_instances(pred_far_only, gt, kind="mask",
+                                height_range=far_r)["AP50"]
+    ap_near = evaluate_instances(pred_far_only, gt, kind="mask",
+                                 height_range=near_r)["AP50"]
+    assert ap_far == 1.0, ap_far
+    assert ap_near == 0.0, ap_near
+    # a near-matching detection does NOT pollute the far bucket (ignored)
+    pred_both = [{"masks": np.stack([m_far, m_near]),
+                  "boxes": np.array([b_far, b_near], np.float32),
+                  "scores": np.array([0.5, 0.9]),
+                  "labels": np.array([0, 0])}]
+    ap_far2 = evaluate_instances(pred_both, gt, kind="mask",
+                                 height_range=far_r)["AP50"]
+    assert ap_far2 == 1.0, ap_far2
+    # unbucketed eval unchanged by the new path
+    ap_all = evaluate_instances(pred_both, gt, kind="mask")["AP50"]
+    assert ap_all == 1.0
