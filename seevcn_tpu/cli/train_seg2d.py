@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--eval_scenes", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--cascade", type=int, default=1, choices=[1, 3],
+                   help="cascade box-head stages (3 = HTC-class cascade "
+                        "at IoU 0.5/0.6/0.7)")
     p.add_argument("--hard", action="store_true",
                    help="far-instance/occlusion scene regime (train AND "
                         "eval); eval always reports far/near AP buckets")
@@ -58,7 +61,9 @@ SIZES = {
 def build_cfg(args):
     from ..models.seg2d.maskrcnn import Seg2DConfig
 
-    return Seg2DConfig(image_size=tuple(args.image_size), **SIZES[args.size])
+    return Seg2DConfig(image_size=tuple(args.image_size),
+                       cascade_stages=getattr(args, "cascade", 1),
+                       **SIZES[args.size])
 
 
 def synthetic_stream(cfg, batch, seed, hard=False):

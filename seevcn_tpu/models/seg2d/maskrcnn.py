@@ -16,6 +16,14 @@ Two-stage layout (standard Mask R-CNN; Faster R-CNN + mask head):
 ResNet-FPN (P2..P6) -> RPN -> proposals -> ROIAlign 7x7 -> box head
 -> (train) sampled-ROI losses / (eval) decoded detections -> ROIAlign
 14x14 on final boxes -> mask head -> 28x28 instance masks.
+
+``cascade_stages=3`` adds HTC's defining structure — the cascade of box
+heads at increasing IoU thresholds 0.5/0.6/0.7 with loss weights
+1/0.5/0.25 (the reference's HTC config inherits cascade_rcnn's rcnn list;
+mmdet htc/htc_r50_fpn_*.py) — each stage re-labels the previous stage's
+refined boxes and inference ensembles the stages' class probabilities on
+the final boxes. DCN stages (dcn_stages) cover HTC+DCN's deformable
+backbone convs.
 """
 from __future__ import annotations
 
@@ -283,6 +291,13 @@ class Seg2DConfig:
     box_hidden: int = 1024
     mask_channels: int = 256
     mask_convs: int = 4
+    # HTC-class cascade (reference runs HTC, whose core is the cascade
+    # of box heads at increasing IoU thresholds; mmdet htc_*.py configs
+    # use 3 stages at 0.5/0.6/0.7 with loss weights 1/0.5/0.25).
+    # cascade_stages=1 keeps the plain Mask R-CNN behavior + checkpoints.
+    cascade_stages: int = 1
+    cascade_ious: tuple = (0.5, 0.6, 0.7)
+    cascade_weights: tuple = (1.0, 0.5, 0.25)
     extra: dict = field(default_factory=dict)
 
 
@@ -370,6 +385,31 @@ class MaskRCNNLogic:
         cls = jnp.where(is_fg, gt_labels[matched] + 1, 0)
         deltas = encode_deltas(gt_boxes[matched], rois)
         return rois, cls, deltas, is_fg, matched
+
+    # -- cascade (HTC-class) --------------------------------------------------
+    def assign_rois(self, rois, roi_valid, gt_boxes, gt_labels, gt_valid,
+                    fg_iou: float):
+        """Targets for GIVEN rois at a stage threshold (no re-sampling —
+        cascade stages re-label the refined boxes, Cascade R-CNN §3.2)."""
+        iou = boxes_iou_normal(rois, gt_boxes)
+        iou = jnp.where(gt_valid[None, :], iou, -1.0)
+        best_gt = jnp.argmax(iou, axis=1)
+        best_iou = jnp.where(roi_valid, jnp.max(iou, axis=1), -1.0)
+        is_fg = best_iou >= fg_iou
+        cls = jnp.where(is_fg, gt_labels[best_gt] + 1, 0)
+        deltas = encode_deltas(gt_boxes[best_gt], rois)
+        return cls, deltas, is_fg, best_gt
+
+    def refine_rois(self, rois, cls_logits, box_deltas):
+        """Decode each roi with its argmax-foreground-class deltas -> the
+        next cascade stage's input boxes (gradient-stopped, like
+        proposals)."""
+        probs = jax.nn.softmax(cls_logits, axis=-1)[:, 1:]   # (R, K)
+        k = jnp.argmax(probs, axis=-1)
+        sel = jax.nn.one_hot(k, self.cfg.num_classes)        # (R, K)
+        deltas = (box_deltas * sel[..., None]).sum(axis=1)   # (R, 4)
+        boxes = decode_deltas(deltas, rois, self.cfg.image_size)
+        return jax.lax.stop_gradient(boxes)
 
     # -- losses ---------------------------------------------------------------
     def rpn_loss(self, rpn_obj, rpn_box, labels, deltas, weights, fg):
@@ -466,8 +506,16 @@ class MaskRCNN(nn.Module):
             rng = jax.random.PRNGKey(0)
         out = {"rpn_obj": rpn_obj, "rpn_box": rpn_box}
 
-        box_head = BoxHead(cfg.num_classes, hidden=cfg.box_hidden,
-                           name="box_head")
+        # stage 0 keeps the name "box_head" so plain Mask R-CNN checkpoints
+        # load unchanged; cascade stages (HTC-class, cascade_stages=3)
+        # append box_head_s1/box_head_s2
+        # getattr: checkpoints pickled before the cascade fields existed
+        # restore a Seg2DConfig without them (pickle round-trips __dict__)
+        n_stage = max(int(getattr(cfg, "cascade_stages", 1)), 1)
+        box_heads = [BoxHead(cfg.num_classes, hidden=cfg.box_hidden,
+                             name="box_head" if s == 0 else f"box_head_s{s}")
+                     for s in range(n_stage)]
+        box_head = box_heads[0]
         mask_head = MaskHead(cfg.num_classes, channels=cfg.mask_channels,
                              n_convs=cfg.mask_convs, name="mask_head")
         p25 = [f for f in feats[:4]]                        # P2..P5 per batch
@@ -493,6 +541,30 @@ class MaskRCNN(nn.Module):
                 for i in range(b)])
             cls_logits, box_deltas = jax.vmap(box_head)(feats7)
             out.update(cls_logits=cls_logits, box_deltas=box_deltas)
+            # cascade stages: refine the previous stage's boxes, re-label
+            # at the stage's (higher) IoU threshold, run the stage head
+            cur_rois, cur_cls, cur_del = rois, cls_logits, box_deltas
+            for s in range(1, n_stage):
+                r_l, c_l, d_l, f_l = [], [], [], []
+                for i in range(b):
+                    ref = logic.refine_rois(cur_rois[i], cur_cls[i],
+                                            cur_del[i])
+                    cls_t, del_t, fg_t, _ = logic.assign_rois(
+                        ref, jnp.ones(ref.shape[0], bool), gt_boxes[i],
+                        gt_labels[i], gt_valid[i],
+                        getattr(cfg, "cascade_ious", (0.5, 0.6, 0.7))[s])
+                    r_l.append(ref); c_l.append(cls_t)
+                    d_l.append(del_t); f_l.append(fg_t)
+                s_rois = jnp.stack(r_l)
+                f7 = jnp.stack([
+                    roi_align([p[i] for p in p25], strides, s_rois[i], 7)
+                    for i in range(b)])
+                s_cls, s_del = jax.vmap(box_heads[s])(f7)
+                out[f"cascade_s{s}"] = {
+                    "cls_logits": s_cls, "box_deltas": s_del,
+                    "cls_tgt": jnp.stack(c_l), "delta_tgt": jnp.stack(d_l),
+                    "fg": jnp.stack(f_l)}
+                cur_rois, cur_cls, cur_del = s_rois, s_cls, s_del
             feats14 = jnp.stack([
                 roi_align([p[i] for p in p25], strides, rois[i], 14)
                 for i in range(b)])
@@ -503,6 +575,24 @@ class MaskRCNN(nn.Module):
                 prop, pvalid, _ = logic.proposals(rpn_obj[i], rpn_box[i])
                 f7 = roi_align([p[i] for p in p25], strides, prop, 7)
                 cls_logits, box_deltas = box_head(f7)
+                if n_stage > 1:
+                    # cascade inference: refine through the stages, then
+                    # score the FINAL boxes with all heads and average the
+                    # class probabilities (Cascade R-CNN test ensemble)
+                    cur = prop
+                    for s in range(1, n_stage):
+                        cur = logic.refine_rois(cur, cls_logits, box_deltas)
+                        f7 = roi_align([p[i] for p in p25], strides, cur, 7)
+                        cls_logits, box_deltas = box_heads[s](f7)
+                    probs = [jax.nn.softmax(cls_logits, axis=-1)]
+                    for s in range(n_stage - 1):
+                        c_s, _ = box_heads[s](f7)
+                        probs.append(jax.nn.softmax(c_s, axis=-1))
+                    mean_p = sum(probs) / len(probs)
+                    # softmax(log p) == p for a prob vector: reuse the
+                    # plain decode with the ensembled scores
+                    cls_logits = jnp.log(mean_p + 1e-9)
+                    prop = cur
                 bx, sc, cl = logic.decode_detections(prop, pvalid,
                                                      cls_logits, box_deltas)
                 f14 = roi_align([p[i] for p in p25], strides, bx, 14)
@@ -519,7 +609,11 @@ class MaskRCNN(nn.Module):
 
     def loss(self, out, gt_boxes, gt_labels, gt_valid, gt_masks, rng):
         logic, b = self.logic, out["rpn_obj"].shape[0]
+        cfg = self.cfg
         total, tb = 0.0, {}
+        n_stage = max(int(getattr(cfg, "cascade_stages", 1)), 1)
+        c_w = getattr(cfg, "cascade_weights", (1.0, 0.5, 0.25))
+        w0 = c_w[0] if n_stage > 1 else 1.0
         for i in range(b):
             labels, deltas, w, fg = logic.rpn_targets(
                 gt_boxes[i], gt_valid[i], jax.random.fold_in(rng, 100 + i))
@@ -530,7 +624,17 @@ class MaskRCNN(nn.Module):
                                      out["box_deltas"][i],
                                      out["roi_cls_tgt"][i],
                                      out["roi_delta_tgt"][i], out["roi_fg"][i])
-            total = total + bi / b
+            total = total + w0 * bi / b
+            # cascade stage losses at their HTC weights (1 / 0.5 / 0.25)
+            for s in range(1, n_stage):
+                cs = out[f"cascade_s{s}"]
+                bs, tbs = logic.box_loss(cs["cls_logits"][i],
+                                         cs["box_deltas"][i],
+                                         cs["cls_tgt"][i],
+                                         cs["delta_tgt"][i], cs["fg"][i])
+                total = total + c_w[s] * bs / b
+                for k, v in tbs.items():
+                    tb[f"{k}_s{s}"] = tb.get(f"{k}_s{s}", 0.0) + v / b
             mt = logic.mask_targets(gt_masks[i], out["rois"][i],
                                     out["roi_matched"][i])
             ml = logic.mask_loss(out["mask_logits"][i], mt,

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import optax
 import pytest
 
-from seevcn_tpu.models.seg2d.maskrcnn import (MaskRCNNLogic, Seg2DConfig,
+from seevcn_tpu.models.seg2d.maskrcnn import (MaskRCNN, MaskRCNNLogic,
+                                              Seg2DConfig,
                                               decode_deltas, encode_deltas,
                                               generate_anchors_2d, roi_align)
 from seevcn_tpu.models.seg2d.backend import (JaxMaskRCNNBackend, build_seg2d,
@@ -212,3 +213,50 @@ def test_bucketed_ap_ignore_semantics():
     # unbucketed eval unchanged by the new path
     ap_all = evaluate_instances(pred_both, gt, kind="mask")["AP50"]
     assert ap_all == 1.0
+
+
+@pytest.mark.slow
+def test_cascade_stages_train_and_infer():
+    """HTC-class cascade (3 box heads at IoU 0.5/0.6/0.7): train forward
+    produces per-stage targets/losses, inference refines boxes through
+    the stages and ensembles class probs; loss is finite and the
+    single-stage param set is a strict subset (ckpt compat)."""
+    cfg = Seg2DConfig(image_size=(96, 128), max_gt=4, num_proposals=32,
+                      roi_batch=16, pre_nms_topk=64, max_detections=8,
+                      stage_sizes=(1, 1, 1, 1), stage_channels=(8, 8, 8, 8),
+                      fpn_channels=8, box_hidden=32, mask_channels=8,
+                      mask_convs=1, cascade_stages=3)
+    logic = MaskRCNNLogic(cfg)
+    model = MaskRCNN(cfg, logic)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 96, 128, 3).astype(np.float32))
+    gtb = jnp.asarray([[[20, 30, 60, 60], [70, 10, 100, 40],
+                        [0, 0, 0, 0], [0, 0, 0, 0]]], jnp.float32)
+    gtl = jnp.zeros((1, 4), jnp.int32)
+    gtv = jnp.asarray([[True, True, False, False]])
+    gtm = jnp.zeros((1, 4, 96, 128), jnp.float32)
+    gtm = gtm.at[0, 0, 30:60, 20:60].set(1.0)
+    gtm = gtm.at[0, 1, 10:40, 70:100].set(1.0)
+
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, img, gtb, gtl, gtv, gtm, train=True,
+                           rng=key)
+    out = model.apply(variables, img, gtb, gtl, gtv, gtm, train=True,
+                      rng=key, mutable=["batch_stats"])[0]
+    assert "cascade_s1" in out and "cascade_s2" in out
+    total, tb = model.loss(out, gtb, gtl, gtv, gtm, key)
+    assert np.isfinite(float(total))
+    assert "box_cls_s1" in tb and "box_cls_s2" in tb
+
+    # inference path runs and returns fixed shapes
+    det = model.apply(variables, img, train=False)
+    assert det["det_boxes"].shape == (1, 8, 4)
+    assert np.isfinite(np.asarray(det["det_scores"])).all()
+
+    # stage-0 params use the plain names -> plain ckpts remain loadable
+    p = variables["params"]
+    assert "box_head" in p and "box_head_s1" in p and "box_head_s2" in p
+    cfg1 = Seg2DConfig(**{**cfg.__dict__, "cascade_stages": 1})
+    m1 = MaskRCNN(cfg1, MaskRCNNLogic(cfg1))
+    v1 = m1.init(key, img, gtb, gtl, gtv, gtm, train=True, rng=key)
+    assert set(v1["params"]["box_head"]) == set(p["box_head"])
