@@ -94,10 +94,18 @@ def chip_canary():
             x = x @ m
         return x.sum()
 
-    float(gemm_chain(a, b))                       # compile + warm
-    reps, t0 = 3, time.time()
-    for i in range(reps):
-        out = gemm_chain(a + jnp.bfloat16(i * 2 ** -8), b)
+    # pre-stage the per-rep inputs as device buffers BEFORE timing: a
+    # host-scalar perturbation inside the loop costs an upload round
+    # trip per rep on the tunneled backend, which at ~130 ms RTT
+    # dominates the ~55 ms of GEMM compute and made a healthy chip read
+    # ~5 TFLOP/s (round-5 capture). 10 reps amortize the single final
+    # readback RTT to ~13 ms/rep.
+    reps = 10
+    xs = [jax.device_put(a + jnp.bfloat16(i * 2 ** -8)) for i in range(reps)]
+    float(gemm_chain(xs[0], b))                   # compile + warm
+    t0 = time.time()
+    for x in xs:
+        out = gemm_chain(x, b)
     float(out)                                    # gates the stream
     dt = (time.time() - t0) / reps
     tflops = CHAIN * 2 * N ** 3 / dt / 1e12

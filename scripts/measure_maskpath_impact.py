@@ -51,11 +51,13 @@ def build_pipeline(vcn_ckpt=None):
         cam_pts = pts @ l2c.T
         # 3% mask shrink: the reference's SHRINK_MASK_PERCENTAGE in
         # every DET config (cfgs/*-DET_*.yaml)
-        member = DP.mask_membership(cam_pts, valid, proj, boxes, masks,
-                                    scores, score_thresh=0.0,
-                                    mask_thresh=0.5, image_size=image_size,
-                                    shrink_pct=3.0)
-        return _tail(vcn, vcn_vars, pts, valid, member)
+        member, core = DP.mask_membership(cam_pts, valid, proj, boxes,
+                                          masks, scores, score_thresh=0.0,
+                                          mask_thresh=0.5,
+                                          image_size=image_size,
+                                          shrink_pct=3.0,
+                                          core_shrink_pct=20.0)
+        return _tail(vcn, vcn_vars, pts, valid, member, core)
 
     def run_gt(pts, valid, gt_boxes, gt_valid):
         # the reference's config-1 GT path extracts points IN the gt
@@ -67,10 +69,14 @@ def build_pipeline(vcn_ckpt=None):
         member = member & gt_valid[:, None] & valid[None, :]
         return _tail(vcn, vcn_vars, pts, valid, member)
 
-    def _tail(vcn, vcn_vars, pts, valid, member):
+    def _tail(vcn, vcn_vars, pts, valid, member, core=None):
+        # core bits (20%-shrunk mask interior) pick the object cluster;
+        # without them a loose mask's frustum lets a larger background
+        # structure win the largest-cluster vote (round-5 frame 0)
         iso, ok = DP.isolate_and_resample(pts, member,
                                           max_instance_pts=2048,
-                                          out_pts=1024)
+                                          out_pts=1024,
+                                          core_membership=core)
         ret = vcn.apply(vcn_vars, {"input": iso})
         surface = partial_mesh_batch(iso, ret["coarse"], k=30,
                                      surface_pts=1024)

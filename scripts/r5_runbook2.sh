@@ -1,6 +1,7 @@
 #!/bin/bash
 # Round-5 runbook part 2 (VERDICT r4 #7): hard-regime seg2d training
-# (far instances + occlusion, HTC-class cascade heads) with distance-bucket AP, then a maskpath
+# (far instances + occlusion, FULL HTC: cascade + semantic branch
+# + mask info flow) with distance-bucket AP, then a maskpath
 # re-measure with whichever checkpoint detects better. Waits for
 # r5_runbook.sh (pid in /tmp/r5_runbook.pid) to release the chip.
 set -u
@@ -34,7 +35,8 @@ if [ ! -f runs/seg2d_hard_r5.done ]; then
     timeout 14400 python -m seevcn_tpu.cli.train_seg2d \
       --out runs/seg2d_hard_r5.ckpt --steps 2500 --batch_size 8 \
       --image_size 384 512 --size base --eval_every 500 --hard \
-      --cascade 3 --eval_scenes 48 > runs/seg2d_hard_r5.log 2>&1 \
+      --cascade 3 --semantic --mask_info_flow \
+      --eval_scenes 48 > runs/seg2d_hard_r5.log 2>&1 \
       && touch runs/seg2d_hard_r5.done && break
     say "seg2d hard rc=$?"
     wait_backend

@@ -41,6 +41,12 @@ def parse_args(argv=None):
     p.add_argument("--cascade", type=int, default=1, choices=[1, 3],
                    help="cascade box-head stages (3 = HTC-class cascade "
                         "at IoU 0.5/0.6/0.7)")
+    p.add_argument("--semantic", action="store_true",
+                   help="HTC fused semantic branch (stride-8 seg loss + "
+                        "ROI feature fusion)")
+    p.add_argument("--mask_info_flow", action="store_true",
+                   help="HTC per-stage mask heads with res-feat chaining "
+                        "(needs --cascade 3)")
     p.add_argument("--hard", action="store_true",
                    help="far-instance/occlusion scene regime (train AND "
                         "eval); eval always reports far/near AP buckets")
@@ -63,6 +69,8 @@ def build_cfg(args):
 
     return Seg2DConfig(image_size=tuple(args.image_size),
                        cascade_stages=getattr(args, "cascade", 1),
+                       semantic_branch=getattr(args, "semantic", False),
+                       mask_info_flow=getattr(args, "mask_info_flow", False),
                        **SIZES[args.size])
 
 

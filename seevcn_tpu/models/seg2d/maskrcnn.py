@@ -24,6 +24,21 @@ mmdet htc/htc_r50_fpn_*.py) — each stage re-labels the previous stage's
 refined boxes and inference ensembles the stages' class probabilities on
 the final boxes. DCN stages (dcn_stages) cover HTC+DCN's deformable
 backbone convs.
+
+The other two HTC components are opt-in flags on Seg2DConfig:
+
+  * ``semantic_branch`` — HTC's fused semantic-segmentation branch: all
+    FPN levels are fused at the stride-8 grid, refined by convs, trained
+    with a per-pixel cross-entropy at weight 0.2 (targets are the union
+    of the instance masks), and the fused feature map is ROI-aligned and
+    ADDED to every box/mask head's ROI features (mmdet HTCRoIHead's
+    semantic_roi_extractor pattern).
+  * ``mask_info_flow`` — per-cascade-stage mask heads where stage ``s``
+    receives stage ``s-1``'s pre-upsample mask features through a 1x1
+    transfer conv (mmdet HTCMaskHead res_feat chain). Training runs the
+    prior heads feature-only on each stage's own ROIs (exactly mmdet's
+    _mask_forward_train); inference averages all stages' mask
+    probabilities on the final boxes.
 """
 from __future__ import annotations
 
@@ -140,18 +155,54 @@ class BoxHead(nn.Module):
 
 
 class MaskHead(nn.Module):
+    """Mask head; with ``prev_feat`` it becomes HTC's info-flow head:
+    the previous stage's pre-upsample feature enters through a 1x1
+    transfer conv (mmdet HTCMaskHead.conv_res) before the conv stack.
+    Returns (logits (R, 28, 28, K), pre-upsample feature (R, 14, 14, C))
+    so the next stage can chain."""
     num_classes: int
     channels: int = 256
     n_convs: int = 4
 
     @nn.compact
-    def __call__(self, roi_feats):            # (R, 14, 14, C)
+    def __call__(self, roi_feats, prev_feat=None):   # (R, 14, 14, C)
         x = roi_feats
+        if prev_feat is not None:
+            x = x + nn.relu(nn.Conv(self.channels, (1, 1),
+                                    name="res_conv")(prev_feat))
         for i in range(self.n_convs):
             x = nn.relu(nn.Conv(self.channels, (3, 3), name=f"conv{i}")(x))
+        feat = x
         x = nn.relu(nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
                                      name="up")(x))
-        return nn.Conv(self.num_classes, (1, 1), name="logits")(x)  # (R,28,28,K)
+        return nn.Conv(self.num_classes, (1, 1), name="logits")(x), feat
+
+
+class SemanticHead(nn.Module):
+    """HTC's fused semantic branch (mmdet FusedSemanticHead): every FPN
+    level is 1x1-projected, resized to the stride-8 (P3) grid and summed;
+    a small conv stack refines the fusion; outputs (a) per-pixel class
+    logits trained at loss weight 0.2 against the union of instance
+    masks, (b) the fused feature map that box/mask heads ROI-fuse."""
+    num_classes: int
+    channels: int = 256
+    n_convs: int = 2
+
+    @nn.compact
+    def __call__(self, feats):                # list of (B, H_l, W_l, C)
+        tgt = feats[1].shape                  # P3, stride 8
+        x = 0.0
+        for i, f in enumerate(feats):
+            lat = nn.Conv(self.channels, (1, 1), name=f"lat{i}")(f)
+            if lat.shape[1:3] != tgt[1:3]:
+                lat = jax.image.resize(
+                    lat, (lat.shape[0], tgt[1], tgt[2], self.channels),
+                    "bilinear")
+            x = x + lat
+        for i in range(self.n_convs):
+            x = nn.relu(nn.Conv(self.channels, (3, 3), name=f"conv{i}")(x))
+        logits = nn.Conv(self.num_classes + 1, (1, 1), name="logits")(x)
+        return logits, x
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +310,19 @@ def roi_align(feats, strides, rois, out_size: int):
     return out
 
 
+def roi_align_single(fmap, stride, rois, out_size: int):
+    """Single-level ROIAlign (no FPN level assignment) — used to fuse the
+    semantic branch's stride-8 feature map into ROI features."""
+    rw = jnp.maximum(rois[:, 2] - rois[:, 0], 1e-3)
+    rh = jnp.maximum(rois[:, 3] - rois[:, 1], 1e-3)
+    steps = (jnp.arange(out_size) + 0.5) / out_size
+    gx = rois[:, 0, None] + steps[None, :] * rw[:, None]
+    gy = rois[:, 1, None] + steps[None, :] * rh[:, None]
+    grid = jnp.stack(jnp.broadcast_arrays(gx[:, None, :], gy[:, :, None]),
+                     axis=-1)                              # (R, S, S, 2)
+    return _bilinear(fmap, grid / stride - 0.5)
+
+
 # ---------------------------------------------------------------------------
 # logic (anchors, target assignment, proposals, losses) — host-built statics
 # ---------------------------------------------------------------------------
@@ -298,6 +362,12 @@ class Seg2DConfig:
     cascade_stages: int = 1
     cascade_ious: tuple = (0.5, 0.6, 0.7)
     cascade_weights: tuple = (1.0, 0.5, 0.25)
+    # HTC's other two components (both opt-in; defaults keep every
+    # pre-existing checkpoint loadable):
+    semantic_branch: bool = False          # fused stride-8 semantic head
+    semantic_convs: int = 2
+    semantic_loss_weight: float = 0.2      # mmdet htc semantic loss_seg
+    mask_info_flow: bool = False           # per-stage mask heads + res_feat
     extra: dict = field(default_factory=dict)
 
 
@@ -516,10 +586,35 @@ class MaskRCNN(nn.Module):
                              name="box_head" if s == 0 else f"box_head_s{s}")
                      for s in range(n_stage)]
         box_head = box_heads[0]
-        mask_head = MaskHead(cfg.num_classes, channels=cfg.mask_channels,
-                             n_convs=cfg.mask_convs, name="mask_head")
+        # HTC mask info flow: one mask head PER cascade stage, chained
+        # through their pre-upsample features; otherwise the single head.
+        use_flow = bool(getattr(cfg, "mask_info_flow", False)) and n_stage > 1
+        n_mask = n_stage if use_flow else 1
+        mask_heads = [MaskHead(cfg.num_classes, channels=cfg.mask_channels,
+                               n_convs=cfg.mask_convs,
+                               name="mask_head" if s == 0
+                               else f"mask_head_s{s}")
+                      for s in range(n_mask)]
+        mask_head = mask_heads[0]
         p25 = [f for f in feats[:4]]                        # P2..P5 per batch
         strides = cfg.strides[:4]
+
+        # HTC semantic branch: fused stride-8 logits + feature; the
+        # feature is ROI-fused (added) into every head's ROI features.
+        use_sem = bool(getattr(cfg, "semantic_branch", False))
+        if use_sem:
+            sem_logits, sem_feat = SemanticHead(
+                cfg.num_classes, channels=cfg.fpn_channels,
+                n_convs=int(getattr(cfg, "semantic_convs", 2)),
+                name="semantic_head")(feats)
+            out["semantic_logits"] = sem_logits
+
+        def align(i, rois_i, size):
+            """ROIAlign on image i (+ semantic fusion when enabled)."""
+            f = roi_align([p[i] for p in p25], strides, rois_i, size)
+            if use_sem:
+                f = f + roi_align_single(sem_feat[i], 8, rois_i, size)
+            return f
 
         if train:
             rois_l, cls_l, dl, fg_l, match_l = [], [], [], [], []
@@ -536,44 +631,59 @@ class MaskRCNN(nn.Module):
             out.update(rois=rois, roi_cls_tgt=jnp.stack(cls_l),
                        roi_delta_tgt=jnp.stack(dl), roi_fg=jnp.stack(fg_l),
                        roi_matched=jnp.stack(match_l))
-            feats7 = jnp.stack([
-                roi_align([p[i] for p in p25], strides, rois[i], 7)
-                for i in range(b)])
+            feats7 = jnp.stack([align(i, rois[i], 7) for i in range(b)])
             cls_logits, box_deltas = jax.vmap(box_head)(feats7)
             out.update(cls_logits=cls_logits, box_deltas=box_deltas)
             # cascade stages: refine the previous stage's boxes, re-label
             # at the stage's (higher) IoU threshold, run the stage head
             cur_rois, cur_cls, cur_del = rois, cls_logits, box_deltas
             for s in range(1, n_stage):
-                r_l, c_l, d_l, f_l = [], [], [], []
+                r_l, c_l, d_l, f_l, m_l = [], [], [], [], []
                 for i in range(b):
                     ref = logic.refine_rois(cur_rois[i], cur_cls[i],
                                             cur_del[i])
-                    cls_t, del_t, fg_t, _ = logic.assign_rois(
+                    cls_t, del_t, fg_t, match_t = logic.assign_rois(
                         ref, jnp.ones(ref.shape[0], bool), gt_boxes[i],
                         gt_labels[i], gt_valid[i],
                         getattr(cfg, "cascade_ious", (0.5, 0.6, 0.7))[s])
                     r_l.append(ref); c_l.append(cls_t)
-                    d_l.append(del_t); f_l.append(fg_t)
+                    d_l.append(del_t); f_l.append(fg_t); m_l.append(match_t)
                 s_rois = jnp.stack(r_l)
-                f7 = jnp.stack([
-                    roi_align([p[i] for p in p25], strides, s_rois[i], 7)
-                    for i in range(b)])
+                f7 = jnp.stack([align(i, s_rois[i], 7) for i in range(b)])
                 s_cls, s_del = jax.vmap(box_heads[s])(f7)
                 out[f"cascade_s{s}"] = {
                     "cls_logits": s_cls, "box_deltas": s_del,
                     "cls_tgt": jnp.stack(c_l), "delta_tgt": jnp.stack(d_l),
-                    "fg": jnp.stack(f_l)}
+                    "fg": jnp.stack(f_l), "rois": s_rois,
+                    "matched": jnp.stack(m_l)}
                 cur_rois, cur_cls, cur_del = s_rois, s_cls, s_del
-            feats14 = jnp.stack([
-                roi_align([p[i] for p in p25], strides, rois[i], 14)
-                for i in range(b)])
-            out["mask_logits"] = jax.vmap(mask_head)(feats14)
+
+            def _apply_mask(h, f14, prev):
+                if prev is None:
+                    return jax.vmap(lambda x: h(x))(f14)
+                return jax.vmap(h)(f14, prev)
+
+            # mask heads: stage s trains on stage-s ROIs; with info flow
+            # the prior heads run feature-only on the SAME rois first
+            # (mmdet HTCRoIHead._mask_forward_train res_feat chain)
+            stage_rois = [rois] + [out[f"cascade_s{s}"]["rois"]
+                                   for s in range(1, n_mask)]
+            for s in range(n_mask):
+                f14 = jnp.stack([align(i, stage_rois[s][i], 14)
+                                 for i in range(b)])
+                last = None
+                for j in range(s):
+                    last = _apply_mask(mask_heads[j], f14, last)[1]
+                logits = _apply_mask(mask_heads[s], f14, last)[0]
+                if s == 0:
+                    out["mask_logits"] = logits
+                else:
+                    out[f"cascade_s{s}"]["mask_logits"] = logits
         else:
             det_boxes, det_scores, det_cls, det_masks = [], [], [], []
             for i in range(b):
                 prop, pvalid, _ = logic.proposals(rpn_obj[i], rpn_box[i])
-                f7 = roi_align([p[i] for p in p25], strides, prop, 7)
+                f7 = align(i, prop, 7)
                 cls_logits, box_deltas = box_head(f7)
                 if n_stage > 1:
                     # cascade inference: refine through the stages, then
@@ -582,7 +692,7 @@ class MaskRCNN(nn.Module):
                     cur = prop
                     for s in range(1, n_stage):
                         cur = logic.refine_rois(cur, cls_logits, box_deltas)
-                        f7 = roi_align([p[i] for p in p25], strides, cur, 7)
+                        f7 = align(i, cur, 7)
                         cls_logits, box_deltas = box_heads[s](f7)
                     probs = [jax.nn.softmax(cls_logits, axis=-1)]
                     for s in range(n_stage - 1):
@@ -595,10 +705,17 @@ class MaskRCNN(nn.Module):
                     prop = cur
                 bx, sc, cl = logic.decode_detections(prop, pvalid,
                                                      cls_logits, box_deltas)
-                f14 = roi_align([p[i] for p in p25], strides, bx, 14)
-                mlog = mask_head(f14)                        # (D, 28, 28, K)
+                f14 = align(i, bx, 14)
+                # info flow at test time: chain the stage heads on the
+                # final boxes, average their mask probabilities (HTC's
+                # mask test ensemble)
                 sel = jax.nn.one_hot(cl, cfg.num_classes)
-                masks = jax.nn.sigmoid((mlog * sel[:, None, None, :]).sum(-1))
+                last, mprob = None, []
+                for s in range(n_mask):
+                    mlog, last = mask_heads[s](f14, last)    # (D, 28, 28, K)
+                    mprob.append(jax.nn.sigmoid(
+                        (mlog * sel[:, None, None, :]).sum(-1)))
+                masks = sum(mprob) / len(mprob)
                 det_boxes.append(bx); det_scores.append(sc)
                 det_cls.append(cl); det_masks.append(masks)
             out.update(det_boxes=jnp.stack(det_boxes),
@@ -614,6 +731,8 @@ class MaskRCNN(nn.Module):
         n_stage = max(int(getattr(cfg, "cascade_stages", 1)), 1)
         c_w = getattr(cfg, "cascade_weights", (1.0, 0.5, 0.25))
         w0 = c_w[0] if n_stage > 1 else 1.0
+        use_flow = bool(getattr(cfg, "mask_info_flow", False)) and n_stage > 1
+        n_mask = n_stage if use_flow else 1
         for i in range(b):
             labels, deltas, w, fg = logic.rpn_targets(
                 gt_boxes[i], gt_valid[i], jax.random.fold_in(rng, 100 + i))
@@ -639,7 +758,34 @@ class MaskRCNN(nn.Module):
                                     out["roi_matched"][i])
             ml = logic.mask_loss(out["mask_logits"][i], mt,
                                  out["roi_cls_tgt"][i], out["roi_fg"][i])
-            total = total + ml / b
+            total = total + (w0 if use_flow else 1.0) * ml / b
+            # info-flow stage mask heads train on their own stage's rois
+            # at the cascade loss weights (mmdet htc mask_head loss_mask)
+            for s in range(1, n_mask):
+                cs = out[f"cascade_s{s}"]
+                mt_s = logic.mask_targets(gt_masks[i], cs["rois"][i],
+                                          cs["matched"][i])
+                ml_s = logic.mask_loss(cs["mask_logits"][i], mt_s,
+                                       cs["cls_tgt"][i], cs["fg"][i])
+                total = total + c_w[s] * ml_s / b
+                tb[f"mask_s{s}"] = tb.get(f"mask_s{s}", 0.0) + ml_s / b
             for k, v in {**tbi, **tbb, "mask": ml}.items():
                 tb[k] = tb.get(k, 0.0) + v / b
+        # semantic branch: per-pixel CE at stride 8 against the union of
+        # the instance masks (labels 1..K over background 0), weight 0.2
+        if "semantic_logits" in out:
+            sem = out["semantic_logits"]               # (B, h8, w8, K+1)
+            lab = jnp.where(
+                gt_valid[:, :, None, None],
+                (gt_masks >= 0.5).astype(jnp.int32)
+                * (gt_labels[:, :, None, None] + 1), 0)
+            tgt = jnp.max(lab, axis=1).astype(jnp.float32)  # (B, H, W)
+            tgt8 = jax.image.resize(
+                tgt, (b, sem.shape[1], sem.shape[2]), "nearest")
+            onehot = jax.nn.one_hot(tgt8.astype(jnp.int32),
+                                    cfg.num_classes + 1)
+            ce = -(jax.nn.log_softmax(sem) * onehot).sum(-1).mean()
+            w_sem = float(getattr(cfg, "semantic_loss_weight", 0.2))
+            total = total + w_sem * ce
+            tb["semantic"] = ce
         return total, tb

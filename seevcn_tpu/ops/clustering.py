@@ -74,6 +74,24 @@ def largest_cluster_mask(labels: jax.Array) -> jax.Array:
     return (labels == best) & (labels >= 0)
 
 
+def best_cluster_mask(labels: jax.Array, weights: jax.Array) -> jax.Array:
+    """(N,) labels + (N,) per-point weights -> bool mask of the cluster
+    with the highest weight sum, ties broken by cluster size
+    (lexicographic). With all-zero weights this degrades to
+    ``largest_cluster_mask``. Used for mask-core cluster selection: score
+    frustum clusters by how many of their points project into the
+    heavily-shrunk mask interior, where the detected object dominates
+    and background leakage at the mask edges cannot."""
+    n = labels.shape[0]
+    safe = jnp.where(labels >= 0, labels, n)
+    counts = jnp.zeros((n + 1,), dtype=jnp.int32).at[safe].add(1)
+    wsum = jnp.zeros((n + 1,), dtype=jnp.int32).at[safe].add(
+        weights.astype(jnp.int32))
+    score = wsum[:n] * (n + 1) + counts[:n]
+    best = jnp.argmax(score)
+    return (labels == best) & (labels >= 0)
+
+
 @partial(jax.jit, static_argnames=("min_points", "total_pts", "n_iters"))
 def largest_cluster_batch(points: jax.Array, eps: float, min_points: int = 2,
                           total_pts: int = 1024, valid: jax.Array | None = None,

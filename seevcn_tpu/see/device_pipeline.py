@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.chamfer import chamfer_sq
-from ..ops.clustering import dbscan, largest_cluster_mask
+from ..ops.clustering import best_cluster_mask, dbscan, largest_cluster_mask
 from ..ops.sampling import tile_to_n, within_radius_mask
 
 
@@ -120,7 +120,8 @@ def mask_membership(points: jax.Array, valid: jax.Array, proj: jax.Array,
                     det_scores: jax.Array, score_thresh: float = 0.5,
                     mask_thresh: float = 0.5,
                     image_size: tuple | None = None,
-                    shrink_pct: float = 0.0) -> jax.Array:
+                    shrink_pct: float = 0.0,
+                    core_shrink_pct: float | None = None) -> jax.Array:
     """(D, P) bool: which in-FOV points fall inside each detection's mask.
 
     det_boxes (D, 4) xyxy in image coords, det_masks (D, mh, mw) patch
@@ -132,6 +133,14 @@ def mask_membership(points: jax.Array, valid: jax.Array, proj: jax.Array,
     per-instance bilinear path (measured 199 ms -> the canvas path at
     bench shapes), which remains as the fallback when no image size is
     given.
+
+    ``core_shrink_pct`` (canvas path only) additionally returns a second
+    membership computed at that much heavier shrink — the mask CORE.
+    Points in the core are near-certainly on the detected object (our
+    from-scratch 28x28 masks leak background at their edges in a way the
+    reference's 1400-px HTC masks don't); ``isolate_and_resample`` uses
+    the core bits to pick the object cluster instead of blindly taking
+    the largest. Returns (member, core) when set.
     """
     u, v, depth = project_points(points[:, :3], proj)
     in_front = depth > 0.1
@@ -150,7 +159,15 @@ def mask_membership(points: jax.Array, valid: jax.Array, proj: jax.Array,
         ok = in_front & valid & in_img
         d = det_masks.shape[0]
         sel = (bits[None, :] >> jnp.arange(d, dtype=jnp.int32)[:, None]) & 1
-        return (sel > 0) & ok[None, :]
+        member = (sel > 0) & ok[None, :]
+        if core_shrink_pct is None:
+            return member
+        core_canvas = rasterize_masks(det_boxes, det_masks, det_scores,
+                                      image_size, score_thresh, mask_thresh,
+                                      shrink_pct=core_shrink_pct)
+        cbits = core_canvas[vi, ui]
+        csel = (cbits[None, :] >> jnp.arange(d, dtype=jnp.int32)[:, None]) & 1
+        return member, (csel > 0) & ok[None, :]
 
     def one(box, patch, score):
         x1, y1, x2, y2 = box
@@ -163,7 +180,10 @@ def mask_membership(points: jax.Array, valid: jax.Array, proj: jax.Array,
         keep = (val >= mask_thresh) & (score >= score_thresh)
         return keep & in_front & valid
 
-    return jax.vmap(one)(det_boxes, det_masks, det_scores)
+    member = jax.vmap(one)(det_boxes, det_masks, det_scores)
+    if core_shrink_pct is not None:
+        return member, member        # bilinear fallback has no shrink path
+    return member
 
 
 @partial(jax.jit, static_argnames=("max_instance_pts", "out_pts"))
@@ -172,9 +192,18 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
                          max_eps: float = 1.0, vres_deg: float = 0.4,
                          min_cluster: int = 10,
                          max_instance_pts: int = 2048,
-                         out_pts: int = 1024):
+                         out_pts: int = 1024,
+                         core_membership: jax.Array | None = None):
     """membership (D, P) -> per-instance largest-DBSCAN-cluster points
     tiled to ``out_pts``: (D, out_pts, 3) + (D,) instance validity.
+
+    ``core_membership`` (same (D, P) shape, from mask_membership's
+    core_shrink_pct) switches the cluster vote from size to
+    core-weighted: the cluster with the most points inside the shrunk
+    mask interior wins (ties by size). This keeps a loose mask whose
+    frustum contains a LARGER background structure from hijacking the
+    instance — the round-5 frame-0 wrong-instance failure mode
+    (BASELINE.md round-5 maskpath table).
 
     Device analog of SEE_VCN.isolate_det_pts (SEE_VCN.py:144-181): the
     adaptive eps comes from the instance centroid range; instances whose
@@ -210,7 +239,7 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
         jnp.where(ok, src, -1).reshape(-1))
     inst_idx = gathered[:d * m].reshape(d, m)
 
-    def one(idx):
+    def one(idx, core_row):
         iv = idx >= 0
         pts = jnp.where(iv[:, None], points[jnp.maximum(idx, 0), :3], 0.0)
         centroid = pts.sum(0) / jnp.maximum(iv.sum(), 1)
@@ -221,12 +250,18 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
         # far beyond a car-sized cluster at eps >= 0.3 m (each round
         # re-reads the (m, m) adjacency, so rounds are the cost driver)
         labels = dbscan(pts, eps, min_points=3, valid=iv, n_iters=8)
-        cmask = largest_cluster_mask(labels) & iv
+        if core_membership is None:
+            cmask = largest_cluster_mask(labels) & iv
+        else:
+            cmask = best_cluster_mask(
+                labels, core_row[jnp.maximum(idx, 0)] & iv) & iv
         ok = cmask.sum() > min_cluster
         out, _ = tile_to_n(pts, cmask, out_pts)
         return out, ok
 
-    return jax.vmap(one)(inst_idx)
+    core_rows = (core_membership if core_membership is not None
+                 else membership)      # unused rows in the None branch
+    return jax.vmap(one)(inst_idx, core_rows)
 
 
 def completion_sanity_mask(observed: jax.Array, completed: jax.Array,

@@ -200,3 +200,76 @@ def test_completion_sanity_mask():
         jnp.asarray(obs), jnp.asarray(comp),
         jnp.asarray(np.array([False, True, True])), max_dist=2.0))
     assert sane2.tolist() == [False, False, False]
+
+
+def test_best_cluster_mask_core_vote():
+    """best_cluster_mask: the core-weighted vote picks a SMALLER cluster
+    when it owns the core points; zero weights degrade to largest."""
+    from seevcn_tpu.ops.clustering import best_cluster_mask, dbscan
+
+    pts = np.zeros((64, 3), np.float32)
+    pts[:20] = np.random.RandomState(0).randn(20, 3) * 0.03 + [5, 0, 0]
+    pts[20:50] = np.random.RandomState(1).randn(30, 3) * 0.03 + [12, 3, 0]
+    valid = np.zeros(64, bool)
+    valid[:50] = True
+    labels = dbscan(jnp.asarray(pts), 0.5, min_points=3,
+                    valid=jnp.asarray(valid))
+    # weights on the 20-pt cluster only
+    w = np.zeros(64, np.int32)
+    w[:20] = 1
+    m = np.asarray(best_cluster_mask(labels, jnp.asarray(w)))
+    assert m[:20].all() and not m[20:50].any()
+    # zero weights -> size vote (the 30-pt cluster)
+    m0 = np.asarray(best_cluster_mask(labels, jnp.zeros(64, np.int32)))
+    assert m0[20:50].all() and not m0[:20].any()
+
+
+def test_isolate_core_membership_overrides_largest():
+    """A loose mask whose frustum holds a LARGER background cluster: the
+    plain vote picks the background; the core vote recovers the object
+    (the round-5 maskpath frame-0 failure mode)."""
+    rng = np.random.RandomState(0)
+    obj = rng.randn(25, 3).astype(np.float32) * 0.05 + [8, 0, 0]
+    bg = rng.randn(60, 3).astype(np.float32) * 0.10 + [25, 5, 1]
+    pts = np.zeros((128, 3), np.float32)
+    pts[:25] = obj
+    pts[25:85] = bg
+    member = np.zeros((1, 128), bool)
+    member[0, :85] = True                      # loose mask: both clusters
+    core = np.zeros((1, 128), bool)
+    core[0, :25] = True                        # shrunk interior: object only
+
+    out_l, ok_l = DP.isolate_and_resample(jnp.asarray(pts),
+                                          jnp.asarray(member),
+                                          max_instance_pts=128, out_pts=32)
+    out_c, ok_c = DP.isolate_and_resample(jnp.asarray(pts),
+                                          jnp.asarray(member),
+                                          max_instance_pts=128, out_pts=32,
+                                          core_membership=jnp.asarray(core))
+    assert bool(ok_l[0]) and bool(ok_c[0])
+    d_l = np.linalg.norm(np.asarray(out_l[0]) - [25, 5, 1], axis=1)
+    assert (d_l < 2.0).all()                   # largest vote = background
+    d_c = np.linalg.norm(np.asarray(out_c[0]) - [8, 0, 0], axis=1)
+    assert (d_c < 2.0).all()                   # core vote = the object
+
+
+def test_mask_membership_core_shrink():
+    """core_shrink_pct returns a second, strictly-smaller membership."""
+    proj = _proj_identity()
+    pts = np.zeros((200, 3), np.float32)
+    # u = 100*x/z, v = 100*y/z with z = 10 -> u = 10x, v = 10y: sweep
+    # x so u spans the box's full [40, 160] width at v = 100
+    pts[:, 0] = np.linspace(3.5, 16.5, 200)
+    pts[:, 1] = 10.0
+    pts[:, 2] = 10.0
+    boxes = np.array([[40.0, 40.0, 160.0, 160.0]], np.float32)
+    masks = np.ones((1, 28, 28), np.float32)
+    scores = np.ones((1,), np.float32)
+    member, core = DP.mask_membership(
+        jnp.asarray(pts), jnp.ones(200, bool), jnp.asarray(proj),
+        jnp.asarray(boxes), jnp.asarray(masks), jnp.asarray(scores),
+        score_thresh=0.5, image_size=(200, 200), shrink_pct=0.0,
+        core_shrink_pct=30.0)
+    member, core = np.asarray(member), np.asarray(core)
+    assert core.sum() < member.sum()
+    assert not (core & ~member).any()          # core subset of member
