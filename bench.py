@@ -71,7 +71,7 @@ def wait_for_backend():
           file=sys.stderr)
 
 
-def chip_canary():
+def chip_canary(N=4096, CHAIN=8, reps=10):
     """Chip-health canary (VERDICT r4 #1/#3): a fixed-size bf16 GEMM
     TFLOP/s probe + trivial-dispatch round-trip latency, recorded in the
     output JSON. When a driver capture disagrees with a builder capture,
@@ -83,7 +83,6 @@ def chip_canary():
     import jax
     import jax.numpy as jnp
 
-    N, CHAIN = 4096, 8
     a = jnp.ones((N, N), jnp.bfloat16)
     # row-stochastic b keeps the chained product at magnitude 1 (bf16)
     b = jnp.full((N, N), 1.0 / N, jnp.bfloat16)
@@ -100,7 +99,6 @@ def chip_canary():
     # dominates the ~55 ms of GEMM compute and made a healthy chip read
     # ~5 TFLOP/s (round-5 capture). 10 reps amortize the single final
     # readback RTT to ~13 ms/rep.
-    reps = 10
     xs = [jax.device_put(a + jnp.bfloat16(i * 2 ** -8)) for i in range(reps)]
     float(gemm_chain(xs[0], b))                   # compile + warm
     t0 = time.time()
@@ -174,12 +172,19 @@ def main():
     @jax.jit
     def see_stage(pts, v, boxes, masks, scores):
         cam_pts = pts @ lidar_to_cam.T
-        member = DP.mask_membership(cam_pts, v, proj, boxes, masks, scores,
-                                    score_thresh=0.0, mask_thresh=0.5,
-                                    image_size=(384, 1280))
+        # production DET path: 3% shrink (the reference's
+        # SHRINK_MASK_PERCENTAGE) + 20% mask-core cluster voting (the
+        # round-5 wrong-instance guard)
+        member, core = DP.mask_membership(cam_pts, v, proj, boxes, masks,
+                                          scores, score_thresh=0.0,
+                                          mask_thresh=0.5,
+                                          image_size=(384, 1280),
+                                          shrink_pct=3.0,
+                                          core_shrink_pct=20.0)
         iso, ok = DP.isolate_and_resample(pts, member,
                                           max_instance_pts=2048,
-                                          out_pts=1024)
+                                          out_pts=1024,
+                                          core_membership=core)
         return iso, ok, iso.sum()
 
     # --- stage 3: VCN completion -----------------------------------------

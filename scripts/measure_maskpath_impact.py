@@ -7,8 +7,14 @@ The reference compares its config-1 (GT isolation) and config-2 (DET
 isolation via HTC masks) preprocessing paths (see/SEE_VCN.py:117-265).
 No pretrained detector ships in this egress-less environment, so the
 downstream quality proxies are geometric:
-  - membership IoU: per-frame IoU of the point sets selected by DET vs
-    GT masks (the isolation input agreement),
+  - membership IoU: per-frame IoU of the RAW point sets selected by DET
+    vs GT masks. Structurally depressed: the DET mask silhouette admits
+    occluded background points behind the object (no depth test), while
+    the GT path is 3D-box membership; the clustering step is what
+    removes the bleed-through, so also report
+  - isolated-set IoU (isoIoU): IoU of the unique source points each
+    path's isolation actually feeds the VCN — the real "isolation input
+    agreement" number,
   - completed-cloud chamfer: symmetric chamfer between the two paths'
     spliced output clouds (the detector INPUT the two configs produce),
   - in-box fraction: of the completed points each path ADDS, the
@@ -116,12 +122,6 @@ def chamfer_np(a, b):
 
 
 def main(argv=None):
-    import cv2
-    import jax.numpy as jnp
-
-    from seevcn_tpu.models.seg2d.backend import JaxMaskRCNNBackend
-    from seevcn_tpu.models.seg2d.synthetic import scene_to_bgr, synth_frame3d
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--frames", type=int, default=8)
@@ -129,7 +129,25 @@ def main(argv=None):
     ap.add_argument("--vcn_ckpt", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--score_thresh", type=float, default=0.3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (quality metrics are "
+                         "platform-independent; lets the measure run "
+                         "while the chip is busy)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        # the environment's sitecustomize re-registers the tunnel
+        # backend and wins the env-var fight; the config API doesn't
+        jax.config.update("jax_platforms", "cpu")
+
+    import cv2
+    import jax.numpy as jnp
+
+    from seevcn_tpu.models.seg2d.backend import JaxMaskRCNNBackend
+    from seevcn_tpu.models.seg2d.synthetic import scene_to_bgr, synth_frame3d
 
     h, w = args.image_size
     backend = JaxMaskRCNNBackend(args.ckpt, score_thresh=args.score_thresh)
@@ -138,6 +156,7 @@ def main(argv=None):
 
     D, PATCH = 8, 56
     ious, chs, inbox_det, inbox_gt, det_counts = [], [], [], [], []
+    iso_ious = []
     for fi in range(args.frames):
         img, pts, gt_boxes, calib, vis_masks = synth_frame3d(h, w, rng)
         valid = np.ones(len(pts), bool)
@@ -184,6 +203,18 @@ def main(argv=None):
         union = (m_gt | m_det).sum()
         ious.append((m_gt & m_det).sum() / union if union else float("nan"))
 
+        def iso_set(out):
+            """Unique source points each path's isolation actually feeds
+            the VCN (iso is tiled, so dedupe by rounded coordinate)."""
+            iso, ok = np.asarray(out[1]), np.asarray(out[2])
+            sel = iso[ok].reshape(-1, 3)
+            return {tuple(q) for q in np.round(sel, 4).tolist()}
+
+        s_gt, s_det = iso_set(outs["gt"]), iso_set(outs["det"])
+        iso_union = len(s_gt | s_det)
+        iso_ious.append(len(s_gt & s_det) / iso_union if iso_union
+                        else float("nan"))
+
         def added(out):
             new_pts, new_valid = np.asarray(out[4]), np.asarray(out[5])
             return new_pts[len(pts):][new_valid[len(pts):]]
@@ -193,6 +224,7 @@ def main(argv=None):
         inbox_gt.append(in_box_fraction(a_gt, gt_boxes))
         inbox_det.append(in_box_fraction(a_det, gt_boxes))
         print(f"frame {fi}: dets={det_counts[-1]} memberIoU={ious[-1]:.3f} "
+              f"isoIoU={iso_ious[-1]:.3f} "
               f"chamfer(det,gt)={chs[-1]:.3f} m inbox gt/det="
               f"{inbox_gt[-1]:.3f}/{inbox_det[-1]:.3f}", flush=True)
 
@@ -201,7 +233,8 @@ def main(argv=None):
         return float(np.mean(x)) if x else float("nan")
 
     print(f"\nSUMMARY frames={args.frames} mean_dets={np.mean(det_counts):.1f} "
-          f"memberIoU={m(ious):.3f} chamfer={m(chs):.3f} m "
+          f"memberIoU={m(ious):.3f} isoIoU={m(iso_ious):.3f} "
+          f"chamfer={m(chs):.3f} m "
           f"inbox_gt={m(inbox_gt):.3f} inbox_det={m(inbox_det):.3f}")
 
 

@@ -92,6 +92,55 @@ def best_cluster_mask(labels: jax.Array, weights: jax.Array) -> jax.Array:
     return (labels == best) & (labels >= 0)
 
 
+def nearest_core_cluster_mask(labels: jax.Array, core: jax.Array,
+                              points: jax.Array, min_core_pts: int = 3,
+                              min_core_frac: float = 0.15,
+                              merge_radius: float = 2.5) -> jax.Array:
+    """Mask-core cluster selection with a nearest-surface prior.
+
+    (N,) labels + (N,) bool core bits (points in the heavily-shrunk mask
+    interior) + (N, 3) points -> bool mask. The camera sees the detected
+    object, so the object is the NEAREST lidar surface along mask rays;
+    background leakage (lidar-camera parallax lets farther ground/wall
+    returns project inside the silhouette) is farther by construction
+    and can out-count the object (round-5 maskpath frame 0: a 39 m
+    ground strip with 61 core points beat the actual car at 10 m).
+
+    Rule: among clusters holding >= ``min_core_pts`` AND
+    >= ``min_core_frac`` of all core points, seed on the one with the
+    smallest mean core range; then merge in any core-supported cluster
+    whose centroid lies within ``merge_radius`` of the seed centroid
+    (dbscan splits a car's near face from its roof at adaptive eps).
+    With no eligible cluster, falls back to the core/size vote of
+    ``best_cluster_mask``.
+    """
+    n = labels.shape[0]
+    safe = jnp.where(labels >= 0, labels, n)
+    counts = jnp.zeros((n + 1,), jnp.int32).at[safe].add(1)
+    wsum = jnp.zeros((n + 1,), jnp.int32).at[safe].add(
+        core.astype(jnp.int32))
+    rng = jnp.linalg.norm(points, axis=-1)
+    rsum = jnp.zeros((n + 1,), points.dtype).at[safe].add(
+        jnp.where(core, rng, 0.0))
+    csum = jnp.zeros((n + 1, 3), points.dtype).at[safe].add(points)
+    centroid = csum[:n] / jnp.maximum(counts[:n], 1)[:, None]
+    mean_core_r = rsum[:n] / jnp.maximum(wsum[:n], 1)
+
+    total_core = wsum[:n].sum()
+    eligible = ((wsum[:n] >= min_core_pts) &
+                (wsum[:n] >= min_core_frac * total_core) &
+                (counts[:n] > 0))
+    seed_near = jnp.argmin(jnp.where(eligible, mean_core_r, jnp.inf))
+    seed_vote = jnp.argmax(wsum[:n] * (n + 1) + counts[:n])
+    seed = jnp.where(eligible.any(), seed_near, seed_vote)
+
+    d2 = ((centroid - centroid[seed]) ** 2).sum(-1)
+    keep = ((d2 <= merge_radius * merge_radius) &
+            (wsum[:n] >= min_core_pts))
+    keep = keep.at[seed].set(True)
+    return keep[jnp.clip(labels, 0, n - 1)] & (labels >= 0)
+
+
 @partial(jax.jit, static_argnames=("min_points", "total_pts", "n_iters"))
 def largest_cluster_batch(points: jax.Array, eps: float, min_points: int = 2,
                           total_pts: int = 1024, valid: jax.Array | None = None,

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.chamfer import chamfer_sq
-from ..ops.clustering import best_cluster_mask, dbscan, largest_cluster_mask
+from ..ops.clustering import (dbscan, largest_cluster_mask,
+                              nearest_core_cluster_mask)
 from ..ops.sampling import tile_to_n, within_radius_mask
 
 
@@ -198,12 +199,14 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
     tiled to ``out_pts``: (D, out_pts, 3) + (D,) instance validity.
 
     ``core_membership`` (same (D, P) shape, from mask_membership's
-    core_shrink_pct) switches the cluster vote from size to
-    core-weighted: the cluster with the most points inside the shrunk
-    mask interior wins (ties by size). This keeps a loose mask whose
-    frustum contains a LARGER background structure from hijacking the
-    instance — the round-5 frame-0 wrong-instance failure mode
-    (BASELINE.md round-5 maskpath table).
+    core_shrink_pct) switches the cluster vote from plain size to the
+    nearest-surface core rule (``nearest_core_cluster_mask``): seed on
+    the NEAREST cluster holding a substantial share of the core points,
+    then merge nearby core-supported fragments. This stops background
+    that lidar-camera parallax pushes inside the mask silhouette —
+    always FARTHER than the object — from out-voting the object itself
+    (the round-5 frame-0 wrong-instance failure mode, BASELINE.md
+    round-5 maskpath table).
 
     Device analog of SEE_VCN.isolate_det_pts (SEE_VCN.py:144-181): the
     adaptive eps comes from the instance centroid range; instances whose
@@ -253,8 +256,12 @@ def isolate_and_resample(points: jax.Array, membership: jax.Array,
         if core_membership is None:
             cmask = largest_cluster_mask(labels) & iv
         else:
-            cmask = best_cluster_mask(
-                labels, core_row[jnp.maximum(idx, 0)] & iv) & iv
+            # nearest-surface core vote: the detected object is the
+            # nearest cluster with substantial core support (parallax
+            # background leakage is farther by construction); nearby
+            # core-supported fragments of the same object are merged
+            cmask = nearest_core_cluster_mask(
+                labels, core_row[jnp.maximum(idx, 0)] & iv, pts) & iv
         ok = cmask.sum() > min_cluster
         out, _ = tile_to_n(pts, cmask, out_pts)
         return out, ok

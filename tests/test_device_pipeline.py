@@ -253,6 +253,31 @@ def test_isolate_core_membership_overrides_largest():
     assert (d_c < 2.0).all()                   # core vote = the object
 
 
+def test_nearest_core_cluster_mask():
+    """The round-5 frame-0 anatomy: a FAR background strip owns MORE
+    core points than the object (parallax leakage), and the object is
+    split into two nearby fragments. The nearest-surface rule must seed
+    on the near fragment and merge in the other, excluding the strip."""
+    from seevcn_tpu.ops.clustering import nearest_core_cluster_mask
+
+    rng = np.random.RandomState(0)
+    face = rng.randn(40, 3).astype(np.float32) * 0.05 + [10, 0.5, -0.8]
+    roof = rng.randn(35, 3).astype(np.float32) * 0.05 + [11.5, 0.5, 0.0]
+    strip = rng.randn(60, 3).astype(np.float32) * 0.08 + [39, 2.5, -1.7]
+    pts = np.concatenate([face, roof, strip]).astype(np.float32)
+    labels = np.concatenate([np.zeros(40), np.full(35, 40),
+                             np.full(60, 75)]).astype(np.int32)
+    core = np.ones(135, bool)                  # ALL survive the shrink
+    m = np.asarray(nearest_core_cluster_mask(
+        jnp.asarray(labels), jnp.asarray(core), jnp.asarray(pts)))
+    assert m[:40].all() and m[40:75].all()     # face seeded, roof merged
+    assert not m[75:].any()                    # far strip excluded
+    # no eligible core at all -> degrades to the size vote
+    m0 = np.asarray(nearest_core_cluster_mask(
+        jnp.asarray(labels), jnp.zeros(135, bool), jnp.asarray(pts)))
+    assert m0[75:].all() and not m0[:75].any()
+
+
 def test_mask_membership_core_shrink():
     """core_shrink_pct returns a second, strictly-smaller membership."""
     proj = _proj_identity()

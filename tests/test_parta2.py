@@ -51,7 +51,10 @@ def test_parta2_forward_and_loss():
                            train=False)
     out = model.apply(variables, pts, valid, train=False)
     assert out["rois"].shape == (2, 16, 7)
-    assert out["seg_logits"].shape == (1024,)  # B * max_voxels rows
+    # B * (max_voxels * UNetV2.extract_capacity_mult) extraction rows
+    from seevcn_tpu.models.modules.unet3d import UNetV2
+    ecap = int(round(512 * UNetV2.extract_capacity_mult))
+    assert out["seg_logits"].shape == (2 * ecap,)
     assert np.isfinite(np.asarray(out["rois"])).all()
 
     def loss_fn(params):
