@@ -3,6 +3,7 @@ experiment's lidar-box -> KITTI-anno conversion."""
 import sys
 
 import numpy as np
+import pytest
 
 from seevcn_tpu.data.synth_da import (generate_da_set, lidar_ray_dirs,
                                       spinning_lidar_frame)
@@ -95,3 +96,77 @@ def test_lidar_box_anno_roundtrip():
     np.testing.assert_allclose(back[:, :6], boxes[:, :6], atol=1e-5)
     dyaw = (back[:, 6] - boxes[:, 6] + np.pi) % (2 * np.pi) - np.pi
     np.testing.assert_allclose(dyaw, 0.0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_eval_batch_parity(tmp_path, monkeypatch):
+    """cmd_eval's chunked (one-readback-per-B-frames) path must produce
+    byte-identical AP/detection counts to the per-frame path, including
+    the padded tail chunk (n=5 with B=3 pads the last chunk by repeating
+    its first frame, whose outputs must be discarded)."""
+    import argparse
+    import json
+    import pickle
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import da_experiment as DA
+
+    import jax
+    import jax.numpy as jnp
+    from seevcn_tpu.models.detectors.second import build_detector
+
+    real_cfg = DA.da_detector_cfg
+
+    def tiny_cfg(max_pts, mode="zfold"):
+        cfg = real_cfg(max_pts, mode)
+        # shrink the grid (64 x 64 x 40) so the CPU forward is cheap
+        cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [0, -6.4, -3, 12.8, 6.4, 1]
+        cfg.DATA_CONFIG.DATA_PROCESSOR[0].MAX_NUMBER_OF_VOXELS = {
+            "train": 2000, "test": 2000}
+        return cfg
+
+    monkeypatch.setattr(DA, "da_detector_cfg", tiny_cfg)
+
+    rng = np.random.RandomState(7)
+    n, p = 5, 800
+    pts = np.zeros((n, p, 3), np.float32)
+    pts[..., 0] = rng.uniform(0.5, 12.0, (n, p))
+    pts[..., 1] = rng.uniform(-6.0, 6.0, (n, p))
+    pts[..., 2] = rng.uniform(-2.5, 0.5, (n, p))
+    valid = np.ones((n, p), bool)
+    gtb = np.zeros((n, 2, 8), np.float32)
+    gtb[..., 0] = rng.uniform(3, 10, (n, 2))
+    gtb[..., 1] = rng.uniform(-4, 4, (n, 2))
+    gtb[..., 2] = -1.0
+    gtb[..., 3:6] = [4.2, 1.9, 1.8]
+    gtb[..., 7] = 1
+    gtm = np.ones((n, 2), bool)
+    set_path = tmp_path / "set.npz"
+    np.savez(set_path, points=pts, valid=valid, gt_boxes=gtb, gt_mask=gtm)
+
+    cfg = tiny_cfg(p)
+    model, _ = build_detector(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(pts[:1]), jnp.asarray(valid[:1]),
+                           train=False)
+    ckpt_path = tmp_path / "ckpt.pkl"
+    with open(ckpt_path, "wb") as f:
+        pickle.dump({"params": variables["params"],
+                     "batch_stats": variables["batch_stats"],
+                     "cfg_mode": "zfold"}, f)
+
+    def run(batch, out):
+        args = argparse.Namespace(
+            cpu=False, ckpt=str(ckpt_path), set=str(set_path), mode="zfold",
+            score_thresh=0.0, eval_batch=batch, out_json=str(out))
+        return DA.cmd_eval(args)
+
+    s1 = run(1, tmp_path / "b1.json")
+    s3 = run(3, tmp_path / "b3.json")
+    assert s1["n_dets"] > 0
+    assert s1["n_dets"] == s3["n_dets"]
+    assert s1["ap_3d_07_r40"] == s3["ap_3d_07_r40"]
+    assert s1["ap_bev_07_r40"] == s3["ap_bev_07_r40"]
+    j1 = json.load(open(tmp_path / "b1.json"))
+    j3 = json.load(open(tmp_path / "b3.json"))
+    assert j1["ap_3d_07_r40"] == j3["ap_3d_07_r40"]
