@@ -147,12 +147,15 @@ def cmd_complete(args):
     out_val = np.zeros((n, p + d_inst * k), bool)
     inbox_fracs = []
     t0 = time.time()
+    from seevcn_tpu.utils import tunnel
+    dog = tunnel.Watchdog(deadline_s=900.0, what="completion readback")
     for i in range(n):
         frame_out, comp_out = complete_frame(jnp.asarray(pts[i]),
                                              jnp.asarray(val[i]),
                                              jnp.asarray(gtb[i]),
                                              jnp.asarray(gtm[i]))
         frame_out = np.asarray(frame_out)
+        dog.beat()
         out_pts[i], out_val[i] = frame_out[:, :3], frame_out[:, 3] > 0.5
         # diagnostic: fraction of ADDED points inside a true gt box
         comp_out = np.asarray(comp_out)
@@ -170,6 +173,7 @@ def cmd_complete(args):
         if (i + 1) % 16 == 0:
             print(f"  complete {i+1}/{n} ({time.time()-t0:.0f}s)",
                   flush=True)
+    dog.stop()
     out = getattr(args, "out", None) or args.set.replace(
         ".npz", ".completed.npz")
     np.savez_compressed(out, points=out_pts, valid=out_val, gt_boxes=gtb,
@@ -270,6 +274,15 @@ def cmd_train(args):
 
     t0 = time.time()
     losses = []
+    # hung-readback watchdog: the gating float() below can block FOREVER
+    # on a wedged tunnel with no exception (det_raw3 stalled 27 min at
+    # step 6400 this way); a missed beat hard-exits EXIT_TRANSIENT so the
+    # runbook resumes from ckpt.pkl in minutes, not the 2 h timeout.
+    # Deadline covers remote compile + the slowest log_every gap.
+    # 1800 s: the measured first beat (remote compile + 50 steps) at the
+    # 4,096-frame config is ~900 s (runs/da3/det_raw3.log), so a 900 s
+    # deadline would race a HEALTHY compile; 2x headroom.
+    dog = tunnel.Watchdog(deadline_s=1800.0, what="train-step readback")
     for it in range(start, args.steps):
         try:
             state, metrics = step2(state, d_pts, d_val, d_gt)
@@ -294,6 +307,7 @@ def cmd_train(args):
             raise
         if (it + 1) % args.log_every == 0:
             loss = float(metrics["loss"])              # gates the stream
+            dog.beat()
             losses.append(loss)
             print(f"step {it+1}/{args.steps} loss {loss:.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
@@ -307,6 +321,8 @@ def cmd_train(args):
             with open(ck_path + ".tmp", "wb") as f:
                 pickle.dump(ck, f)
             os.replace(ck_path + ".tmp", ck_path)
+            dog.beat()
+    dog.stop()
     print(f"done: final losses {losses[-3:]}", flush=True)
 
 
@@ -378,12 +394,15 @@ def cmd_eval(args):
 
     gt_annos, dt_annos = [], []
     t0 = time.time()
+    from seevcn_tpu.utils import tunnel
+    dog = tunnel.Watchdog(deadline_s=900.0, what="eval readback")
     for c0 in range(0, n, B):
         idx = np.arange(c0, min(c0 + B, n))
         # pad the tail chunk by repeating its first frame (discarded below)
         pad = np.concatenate([idx, np.full(B - len(idx), idx[0])])
         packed = np.asarray(infer(variables, jnp.asarray(pts[pad]),
                                   jnp.asarray(val[pad])))
+        dog.beat()
         for j, i in enumerate(idx):
             fr = packed[j]
             m = fr[:, 9] > 0.5
@@ -394,6 +413,7 @@ def cmd_eval(args):
         done = idx[-1] + 1
         if done % 32 < B:
             print(f"  eval {done}/{n} ({time.time()-t0:.0f}s)", flush=True)
+    dog.stop()
 
     report, result = get_official_eval_result(gt_annos, dt_annos, ("Car",))
     print(report)

@@ -22,7 +22,11 @@ into distinct exit codes so runbooks only retry what retrying can fix.
 """
 from __future__ import annotations
 
+import os
 import re
+import sys
+import threading
+import time
 
 # the exact shapes seen in runs/da_tpu_runbook3.log and bench captures
 _PAYLOAD_RE = re.compile(
@@ -69,6 +73,69 @@ def jaxpr_const_bytes(fn, *args, **kwargs) -> int:
         if size is not None and dt is not None:
             total += int(size) * dt.itemsize
     return total
+
+
+class Watchdog:
+    """Convert a silent tunnel HANG into a classified transient failure.
+
+    The exception classifier above only helps when the backend *raises*.
+    The other observed failure mode is a readback that never returns: the
+    gating ``float(...)`` blocks in C++ forever, no exception, no log
+    progress (det_raw3 stalled 27 min at step 6400 this way; the only
+    backstop was a 2-hour runbook ``timeout``). ``signal.alarm`` cannot
+    interrupt a C call that doesn't check Python signals, so the watchdog
+    is a daemon THREAD: callers ``beat()`` after every unit of progress,
+    and if no beat arrives within ``deadline_s`` the thread prints a
+    transient-failure diagnosis and hard-exits the process with
+    ``EXIT_TRANSIENT`` — the same code the exception path uses — so the
+    surrounding runbook retries with ``--resume`` in minutes instead of
+    hours. Progress-based, not per-call: compiles legitimately take
+    minutes, so the deadline should comfortably exceed the slowest
+    expected beat-to-beat gap (compile + first step), default 15 min.
+    """
+
+    def __init__(self, deadline_s: float = 900.0, what: str = "progress",
+                 on_stall=None):
+        self.deadline_s = float(deadline_s)
+        self.what = what
+        # injectable for tests; production default hard-exits because the
+        # main thread is unrecoverably blocked inside the runtime
+        self._on_stall = on_stall or self._default_stall
+        self._last = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._watch, daemon=True)
+        self._thread.start()
+
+    def _default_stall(self, idle_s: float) -> None:
+        print(f"WATCHDOG: no {self.what} for {idle_s:.0f}s "
+              f"(deadline {self.deadline_s:.0f}s) — the tunnel readback is "
+              "hung (no exception will ever surface). Exiting "
+              f"{EXIT_TRANSIENT} so the caller retries with --resume.",
+              file=sys.stderr, flush=True)
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os._exit(EXIT_TRANSIENT)
+
+    def beat(self) -> None:
+        """Record progress; resets the stall timer."""
+        self._last = time.monotonic()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+        return False
+
+    def _watch(self) -> None:
+        while not self._stop.wait(min(5.0, self.deadline_s / 4)):
+            idle = time.monotonic() - self._last
+            if idle > self.deadline_s:
+                self._on_stall(idle)
+                return
 
 
 def explain_tunnel_error(exc: BaseException, const_bytes: int | None = None) -> str:

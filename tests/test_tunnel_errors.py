@@ -93,3 +93,58 @@ def test_train_step2_has_no_large_constants():
     cb = tunnel.jaxpr_const_bytes(step2, jnp.zeros((), jnp.int32),
                                   d_pts, d_val, d_gt)
     assert cb < 1_000, f"step closes over {cb} bytes of constants"
+
+
+class TestWatchdog:
+    """Hung-readback watchdog: a wedged tunnel readback blocks forever
+    WITHOUT raising (det_raw3 stalled 27 min at step 6400 with a healthy
+    backend probe alongside), so exception classification alone cannot
+    recover it. The watchdog converts a missed progress beat into the
+    same transient exit the exception path uses."""
+
+    def test_beats_keep_it_quiet(self):
+        import time
+        fired = []
+        with tunnel.Watchdog(deadline_s=0.5, what="t",
+                             on_stall=lambda idle: fired.append(idle)) as dog:
+            for _ in range(8):
+                time.sleep(0.1)
+                dog.beat()           # beat inside the deadline: never fires
+        assert not fired
+
+    def test_stall_fires_with_idle_time(self):
+        import time
+        fired = []
+        dog = tunnel.Watchdog(deadline_s=0.3, what="t",
+                              on_stall=lambda idle: fired.append(idle))
+        try:
+            time.sleep(1.2)          # no beats: simulated hung readback
+        finally:
+            dog.stop()
+        assert fired and fired[0] > 0.3
+
+    def test_stop_prevents_late_fire(self):
+        import time
+        fired = []
+        dog = tunnel.Watchdog(deadline_s=0.3, what="t",
+                              on_stall=lambda idle: fired.append(idle))
+        dog.stop()
+        time.sleep(0.8)
+        assert not fired
+
+    def test_default_action_is_transient_exit(self):
+        # production default hard-exits EXIT_TRANSIENT (os._exit: the main
+        # thread is unrecoverably blocked in the runtime) — verify in a
+        # subprocess so the suite survives
+        import subprocess
+        import sys
+        code = (
+            "import time\n"
+            "from seevcn_tpu.utils import tunnel\n"
+            "dog = tunnel.Watchdog(deadline_s=0.3, what='t')\n"
+            "time.sleep(30)\n"
+        )
+        r = subprocess.run([sys.executable, "-c", code], timeout=25,
+                           capture_output=True, text=True)
+        assert r.returncode == tunnel.EXIT_TRANSIENT
+        assert "WATCHDOG" in r.stderr
